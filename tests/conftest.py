@@ -1,0 +1,47 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
+(task-DP x class-TP meshes) can be exercised without TPU hardware — the
+TPU-native analog of a fake distributed backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does force CPU
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_simplex_tasks(rng, n_task=4, n_query=40, n_class=8, k_eff=4,
+                       concentration=60.0):
+    """Synthetic separable zero-shot tasks: softmax features drawn from
+    class-peaked Dirichlet distributions, labels in task-global class ids."""
+    x = np.zeros((n_task, n_query, n_class), np.float32)
+    y = np.zeros((n_task, n_query), np.int64)
+    for t in range(n_task):
+        classes = rng.choice(n_class, size=k_eff, replace=False)
+        labels = rng.choice(classes, size=n_query)
+        for i, c in enumerate(labels):
+            alpha = np.ones(n_class)
+            alpha[c] += concentration
+            x[t, i] = rng.dirichlet(alpha)
+        y[t] = labels
+    return x, y
+
+
+@pytest.fixture
+def simplex_tasks(rng):
+    return make_simplex_tasks(rng)

@@ -1,0 +1,82 @@
+"""Golden-task tests: on well-separated synthetic simplex tasks every
+zero-shot method must recover the classes with high accuracy (the reference
+has no tests; this is the strategy from SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from transductive_clip_tpu.core.config import CfgNode
+from transductive_clip_tpu.methods import get_zero_shot_method, ZERO_SHOT_METHODS
+
+
+def make_cfg(n_class=8, **over):
+    cfg = CfgNode(
+        {
+            "num_classes_test": n_class,
+            "n_class": n_class,
+            "n_query": 40,
+            "iter": 10,
+            "iter_mm": 400,
+            "T": 30,
+            "use_softmax_feature": True,
+            "graph_matching": True,
+            "seed": 0,
+        }
+    )
+    cfg.update(over)
+    return cfg
+
+
+def run_method(name, simplex_tasks, **cfg_over):
+    x, y = simplex_tasks
+    cfg = make_cfg(**cfg_over)
+    method = get_zero_shot_method(name, args=cfg)
+    logs = method.run_task({"x_q": x, "y_q": y})
+    return logs
+
+
+@pytest.mark.parametrize(
+    "name,min_acc",
+    [
+        ("EM_DIRICHLET", 0.9),
+        ("HARD_EM_DIRICHLET", 0.9),
+        ("HARD_KMEANS", 0.8),
+        ("KL_KMEANS", 0.8),
+        ("EM_GAUSSIAN_COV", 0.5),
+        ("CLIP", 0.9),
+    ],
+)
+def test_golden_accuracy(name, simplex_tasks, min_acc):
+    logs = run_method(name, simplex_tasks)
+    acc = logs["acc"][:, -1].mean()
+    assert acc >= min_acc, f"{name}: {acc}"
+    assert logs["acc"].shape[0] == simplex_tasks[0].shape[0]
+    assert np.isfinite(logs["criterions"]).all()
+
+
+def test_all_methods_run(simplex_tasks):
+    for name in ZERO_SHOT_METHODS:
+        logs = run_method(name, simplex_tasks, iter=3, iter_mm=60)
+        assert logs["acc"].shape[1] >= 1
+        assert 0.0 <= logs["acc"].mean() <= 1.0
+
+
+def test_em_dirichlet_rejects_visual_features(simplex_tasks):
+    x, y = simplex_tasks
+    cfg = make_cfg(use_softmax_feature=False)
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    with pytest.raises(ValueError):
+        method.run_task({"x_q": x, "y_q": y})
+
+
+def test_visual_feature_init_path(rng):
+    """Methods that accept visual features initialize u from text similarity."""
+    n_task, n, d, K = 2, 30, 16, 5
+    text_features = rng.normal(size=(K, d)).astype(np.float32)
+    text_features /= np.linalg.norm(text_features, axis=-1, keepdims=True)
+    y = rng.integers(0, K, size=(n_task, n))
+    x = text_features[y] + 0.05 * rng.normal(size=(n_task, n, d)).astype(np.float32)
+    cfg = make_cfg(n_class=K, use_softmax_feature=False, iter=5)
+    method = get_zero_shot_method("HARD_KMEANS", args=cfg)
+    logs = method.run_task({"x_q": x, "y_q": y, "text_features": text_features})
+    assert logs["acc"][:, -1].mean() > 0.8

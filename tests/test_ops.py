@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+from scipy.special import digamma as sp_digamma
+from scipy.stats import dirichlet as sp_dirichlet
+
+import jax.numpy as jnp
+
+from transductive_clip_tpu.native import lap_solve
+from transductive_clip_tpu.ops import (
+    basic_matching,
+    dirichlet_log_pdf,
+    get_one_hot,
+    hungarian_matching,
+    kl_divergence_to_centroids,
+    mm_update_alpha,
+    sq_euclidean,
+)
+from transductive_clip_tpu.ops.dirichlet import weighted_log_means
+
+
+def test_one_hot(rng):
+    y = jnp.asarray(rng.integers(0, 5, size=(3, 7)))
+    oh = np.asarray(get_one_hot(y, 5))
+    assert oh.shape == (3, 7, 5)
+    assert (oh.argmax(-1) == np.asarray(y)).all()
+    assert (oh.sum(-1) == 1).all()
+
+
+def test_sq_euclidean_matches_broadcast(rng):
+    x = rng.normal(size=(2, 9, 6)).astype(np.float32)
+    w = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    got = np.asarray(sq_euclidean(jnp.asarray(x), jnp.asarray(w)))
+    want = ((x[:, :, None, :] - w[:, None, :, :]) ** 2).sum(-1)
+    # the matmul expansion trades a little fp32 accuracy for MXU throughput
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+
+
+def test_kl_divergence(rng):
+    x = rng.dirichlet(np.ones(5), size=(2, 8)).astype(np.float32)
+    w = rng.dirichlet(np.ones(5), size=(2, 3)).astype(np.float32)
+    got = np.asarray(kl_divergence_to_centroids(jnp.asarray(x), jnp.asarray(w)))
+    eps = 1e-15
+    want = np.einsum(
+        "tnd,tnkd->tnk",
+        x + eps,
+        np.log((x + eps)[:, :, None, :] / (w + eps)[:, None, :, :]),
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_dirichlet_log_pdf_vs_scipy(rng):
+    alpha = rng.uniform(0.5, 4.0, size=(1, 2, 4))
+    x = rng.dirichlet(np.ones(4), size=(1, 3)).astype(np.float64)
+    got = np.asarray(
+        dirichlet_log_pdf(jnp.log(jnp.asarray(x)), jnp.asarray(alpha, jnp.float32))
+    )
+    for n in range(3):
+        for k in range(2):
+            want = sp_dirichlet(alpha[0, k]).logpdf(x[0, n] / x[0, n].sum())
+            assert got[0, n, k] == pytest.approx(want, rel=1e-3, abs=5e-2)
+
+
+def test_mm_solver_satisfies_mle_stationarity(rng):
+    """The MM fixed point solves digamma(a_k) - digamma(sum a) = mean log x."""
+    true_alpha = np.array([2.0, 5.0, 1.0, 0.7])
+    x = rng.dirichlet(true_alpha, size=20000)
+    y_cst = np.log(x + 1e-15).mean(0)[None, None, :]              # [1, 1, 4]
+    alpha0 = jnp.ones((1, 1, 4), jnp.float32)
+    alpha = np.asarray(mm_update_alpha(alpha0, jnp.asarray(y_cst, jnp.float32)))
+    resid = sp_digamma(alpha) - sp_digamma(alpha.sum(-1, keepdims=True)) - y_cst
+    assert np.abs(resid).max() < 5e-4
+    # and the estimate should be near the generating parameters
+    assert np.abs(alpha[0, 0] - true_alpha).max() < 0.25
+
+
+def test_weighted_log_means_empty_cluster_fill(rng):
+    u = np.zeros((1, 6, 3), np.float32)
+    u[:, :, 0] = 1.0                                              # cluster 1, 2 empty
+    logq = np.log(rng.dirichlet(np.ones(3), size=(1, 6)).astype(np.float32))
+    y, nonzero = weighted_log_means(jnp.asarray(u), jnp.asarray(logq))
+    y = np.asarray(y)
+    np.testing.assert_allclose(y[0, 1], -10.0)
+    np.testing.assert_allclose(y[0, 2], -10.0)
+    np.testing.assert_allclose(y[0, 0], np.asarray(logq)[0].mean(0), rtol=1e-3)
+
+
+def test_lap_solve_matches_scipy(rng):
+    for shape in [(5, 5), (7, 12), (1, 4), (60, 100)]:
+        cost = rng.normal(size=shape)
+        r1, c1 = lap_solve(cost)
+        r2, c2 = linear_sum_assignment(cost)
+        assert cost[r1, c1].sum() == pytest.approx(cost[r2, c2].sum(), abs=1e-9)
+        assert len(set(c1.tolist())) == shape[0]                  # valid injection
+
+
+def test_hungarian_matching_recovers_permutation(rng):
+    n_task, n, K = 3, 30, 6
+    perm = np.stack([rng.permutation(K) for _ in range(n_task)])
+    preds = rng.integers(0, K, size=(n_task, n))
+    # probs: cluster k strongly favors class perm[k]
+    probs = np.full((n_task, K, K), 0.01)
+    for t in range(n_task):
+        probs[t, np.arange(K), perm[t]] = 0.9
+    new_preds = hungarian_matching(preds, probs)
+    want = np.take_along_axis(perm, preds, axis=1)
+    np.testing.assert_array_equal(new_preds, want)
+
+
+def test_basic_matching(rng):
+    preds = np.array([[0, 1, 1, 2]])
+    probs = np.zeros((1, 3, 5))
+    probs[0, 0, 4] = 1
+    probs[0, 1, 2] = 1
+    probs[0, 2, 0] = 1
+    np.testing.assert_array_equal(basic_matching(preds, probs), [[4, 2, 2, 0]])

@@ -1,0 +1,189 @@
+"""Shared machinery for transductive methods.
+
+Design (TPU-native): every method's math lives in a pure, jitted function
+``(arrays, dynamic scalars; static iteration counts) -> (u/preds, criterion
+trace)`` built from ``lax.scan`` over EM iterations, batched over the leading
+task axis. The classes here are thin host-side wrappers that provide the
+reference-compatible ``run_task(task_dic) -> logs`` API
+(reference: src/methods/zero_shot/em_dirichlet.py:100-121), handle timing,
+and run the (tiny, once-per-batch) cluster->class matching on the host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logger import Logger
+from ..ops.common import EPS, get_one_hot
+from ..ops.matching import basic_matching, cluster_prototypes, hungarian_matching
+from ..ops.precision import f32_einsum
+
+
+def init_soft_assignments(query, cfg, text_features=None):
+    """Initial soft assignments u0.
+
+    For softmax features u0 is the features themselves; for visual features
+    u0 = softmax(T * normalize(q) @ text_features^T)
+    (reference: soft_kmeans.py:185-197).
+    """
+    if cfg.use_softmax_feature:
+        return query
+    if text_features is None:
+        raise ValueError(
+            "Visual-feature initialization requires CLIP text features; "
+            "pass them in the task dict under 'text_features'."
+        )
+    q = query / jnp.linalg.norm(query, axis=-1, keepdims=True)
+    sims = f32_einsum("tnd,kd->tnk", q, text_features)
+    return jax.nn.softmax(cfg.T * sims, axis=-1)
+
+
+def clustering_accuracy(u, query, y_q, cfg, text_features=None):
+    """Zero-shot clustering accuracy with cluster->class matching.
+
+    Mirrors compute_acc_clustering (reference: em_dirichlet.py:61-92):
+    cluster prototypes are mean query features (softmax path) or
+    text-similarity softmaxes of normalized mean visual features.
+    Returns (acc [N, 1], matched_preds [N, n]).
+    """
+    u = np.asarray(u)
+    query_np = np.asarray(query)
+    y_q = np.asarray(y_q)
+    n_class = int(cfg.n_class)
+    preds = u.argmax(axis=2)
+    one_hot = (preds[..., None] == np.arange(n_class)).astype(np.float64)
+    prototypes = cluster_prototypes(one_hot, query_np)
+
+    if cfg.use_softmax_feature:
+        probs = prototypes
+    else:
+        tf = np.asarray(text_features)
+        norms = np.linalg.norm(prototypes, axis=-1, keepdims=True)
+        protos_n = prototypes / np.maximum(norms, EPS)
+        logits = cfg.T * protos_n @ tf.T
+        logits -= logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits)
+        probs = e / e.sum(axis=-1, keepdims=True)
+
+    if bool(cfg.graph_matching):
+        new_preds = hungarian_matching(preds, probs)
+    else:
+        new_preds = basic_matching(preds, probs)
+
+    acc = (new_preds == y_q).mean(axis=1, keepdims=True)
+    return acc.astype(np.float32), new_preds
+
+
+def direct_accuracy(u, y_q):
+    """Plain argmax accuracy (few-shot path; reference: few_shot/em_dirichlet.py:50-58)."""
+    preds = np.asarray(u).argmax(axis=2)
+    acc = (preds == np.asarray(y_q)).mean(axis=1, keepdims=True)
+    return acc.astype(np.float32), preds
+
+
+class TransductiveMethod:
+    """Base wrapper. Subclasses set ``acc_mode`` and implement ``_infer``."""
+
+    #: "clustering" -> matched clustering accuracy; "direct" -> argmax accuracy
+    acc_mode = "clustering"
+
+    def __init__(self, model=None, device=None, log_file=None, args=None):
+        self.model = model
+        self.device = device
+        self.args = args
+        self.log_file = log_file
+        self.logger = Logger(type(self).__name__, log_file) if log_file else None
+        self.eps = EPS
+
+    # -- subclass hook ----------------------------------------------------
+    def _infer(self, task):
+        """Run the jitted method. Returns (u, criterions [iter] or [iter, ...])."""
+        raise NotImplementedError
+
+    # -- helpers ----------------------------------------------------------
+    def _log(self, msg):
+        if self.logger is not None:
+            self.logger.info(msg)
+
+    def _prepare_zero_shot(self, task_dic):
+        query = jnp.asarray(task_dic["x_q"], jnp.float32)
+        y_q = np.asarray(task_dic["y_q"])
+        if y_q.ndim == 3:
+            y_q = y_q.squeeze(2)
+        text_features = task_dic.get("text_features")
+        if text_features is not None:
+            text_features = jnp.asarray(text_features, jnp.float32)
+        return query, y_q, text_features
+
+    def run_task(self, task_dic, shot=None):
+        query, y_q, text_features = self._prepare_zero_shot(task_dic)
+        task = dict(task_dic)
+        task["x_q"] = query
+        task["text_features"] = text_features
+
+        t0 = time.perf_counter()
+        u, criterions = self._infer(task)
+        u = jax.block_until_ready(u)
+        elapsed = time.perf_counter() - t0
+        n_task = query.shape[0]
+
+        if self.acc_mode == "clustering":
+            acc, preds = clustering_accuracy(
+                u, query, y_q, self.args, text_features=text_features
+            )
+        else:
+            acc, preds = direct_accuracy(u, y_q)
+
+        return {
+            "acc": acc,
+            "preds": preds,
+            "criterions": np.asarray(criterions),
+            "timestamps": elapsed / n_task,
+        }
+
+
+class FewShotMethod(TransductiveMethod):
+    acc_mode = "direct"
+
+    def _prepare_few_shot(self, task_dic):
+        support = jnp.asarray(task_dic["x_s"], jnp.float32)
+        query = jnp.asarray(task_dic["x_q"], jnp.float32)
+        y_s = np.asarray(task_dic["y_s"])
+        y_q = np.asarray(task_dic["y_q"])
+        if y_s.ndim == 3:
+            y_s = y_s.squeeze(2)
+        if y_q.ndim == 3:
+            y_q = y_q.squeeze(2)
+        text_features = task_dic.get("text_features")
+        if text_features is not None:
+            text_features = jnp.asarray(text_features, jnp.float32)
+        return support, query, y_s, y_q, text_features
+
+    def run_task(self, task_dic, shot=None):
+        support, query, y_s, y_q, text_features = self._prepare_few_shot(task_dic)
+        task = {
+            "x_s": support,
+            "x_q": query,
+            "y_s": jnp.asarray(y_s, jnp.int32),
+            "y_q": y_q,
+            "text_features": text_features,
+        }
+
+        t0 = time.perf_counter()
+        u, criterions = self._infer(task)
+        u = jax.block_until_ready(u)
+        elapsed = time.perf_counter() - t0
+        n_task = query.shape[0]
+
+        acc, preds = direct_accuracy(u, y_q)
+        return {
+            "acc": acc,
+            "preds": preds,
+            "criterions": np.asarray(criterions),
+            "timestamps": elapsed / n_task,
+        }

@@ -1,0 +1,144 @@
+"""TIM-GD and alpha-TIM: transductive information maximization by gradient
+ascent on class weights (reference: src/methods/few_shot/tim.py; NeurIPS 2020
+"TIM" and NeurIPS 2021 "Realistic evaluation of transductive few-shot").
+
+The only gradient-based method in the suite. TPU design: the Adam loop is a
+``lax.scan`` of jitted steps (optax.adam matches torch.optim.Adam defaults);
+the loss is differentiated with ``jax.value_and_grad``. As in the reference,
+the reported predictions come from the logits computed *before* the final
+optimizer step (reference: tim.py:161-189 keeps ``logits_q`` from the last
+loop body).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...ops.common import get_one_hot
+from ..base import FewShotMethod
+from .paddle import support_class_means
+from ...ops.precision import f32_einsum
+
+_EPS = 1e-12
+
+
+def _tim_logits(weights, samples, temp):
+    """temp * (x.w - ||w||^2/2 - ||x||^2/2) (reference: tim.py:99-113)."""
+    xw = f32_einsum("tnd,tkd->tnk", samples, weights)
+    w2 = 0.5 * jnp.sum(weights * weights, axis=-1)[:, None, :]
+    x2 = 0.5 * jnp.sum(samples * samples, axis=-1)[:, :, None]
+    return temp * (xw - w2 - x2)
+
+
+def _cross_entropy(y_one_hot, probs_s, kind: str, alpha_value):
+    if kind == "Shannon":
+        return -jnp.sum(
+            y_one_hot * jnp.log(probs_s + _EPS), axis=2
+        ).mean(axis=1).sum(axis=0)
+    # Alpha (Tsallis-style) cross entropy
+    ce = jnp.power(y_one_hot, alpha_value) * jnp.power(probs_s + _EPS, 1.0 - alpha_value)
+    return ((1.0 - jnp.sum(ce, axis=2)) / (alpha_value - 1.0)).mean(axis=1).sum(axis=0)
+
+
+def _marginal_entropy(q_probs, kind: str, alpha_value):
+    marg = jnp.mean(q_probs, axis=1)
+    if kind == "Shannon":
+        return -jnp.sum(marg * jnp.log(marg + _EPS), axis=1).sum(axis=0)
+    return ((1.0 - jnp.sum(jnp.power(marg, alpha_value), axis=1))
+            / (alpha_value - 1.0)).sum(axis=0)
+
+
+def _conditional_entropy(q_probs, kind: str, alpha_value):
+    if kind == "Shannon":
+        return -jnp.sum(
+            q_probs * jnp.log(q_probs + _EPS), axis=2
+        ).mean(axis=1).sum(axis=0)
+    return ((1.0 - jnp.sum(jnp.power(q_probs + _EPS, alpha_value), axis=2))
+            / (alpha_value - 1.0)).mean(axis=1).sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr"))
+def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
+              n_iter: int, n_class: int, entropies: tuple, lr: float):
+    """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter])."""
+    y_one_hot = get_one_hot(y_s, n_class)
+    w0 = support_class_means(support, y_s, n_class)
+    opt = optax.adam(lr)
+    opt_state0 = opt.init(w0)
+
+    def loss_fn(weights):
+        logits_s = _tim_logits(weights, support, temp)
+        logits_q = _tim_logits(weights, query, temp)
+        probs_s = jax.nn.softmax(logits_s, axis=2)
+        q_probs = jax.nn.softmax(logits_q, axis=2)
+        ce = _cross_entropy(y_one_hot, probs_s, entropies[0], alpha_value)
+        q_ent = _marginal_entropy(q_probs, entropies[1], alpha_value)
+        q_cond_ent = _conditional_entropy(q_probs, entropies[2], alpha_value)
+        loss = (
+            loss_weights[0] * ce
+            - (loss_weights[1] * q_ent - loss_weights[2] * q_cond_ent)
+        )
+        return loss, logits_q
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    logits_q0 = _tim_logits(w0, query, temp)
+
+    def step(carry, _):
+        weights, opt_state, _ = carry
+        (_, logits_q), grads = grad_fn(weights)
+        updates, opt_state = opt.update(grads, opt_state)
+        new_weights = optax.apply_updates(weights, updates)
+        crit = jnp.mean(jnp.linalg.norm(weights - new_weights, axis=-1))
+        return (new_weights, opt_state, logits_q), crit
+
+    (_, _, logits_q), criterions = jax.lax.scan(
+        step, (w0, opt_state0, logits_q0), None, length=n_iter
+    )
+    return jax.nn.softmax(logits_q, axis=2), criterions
+
+
+class ALPHA_TIM(FewShotMethod):
+    entropies_default = ("Shannon", "Alpha", "Alpha")
+
+    def _infer(self, task):
+        args = self.args
+        self._log(
+            f" ==> Executing ALPHA-TIM with ALPHA = {args.alpha_value} "
+            f"and temp = {args.temp}"
+        )
+        return tim_infer(
+            task["x_s"],
+            task["x_q"],
+            task["y_s"],
+            jnp.float32(args.temp),
+            jnp.float32(args.alpha_value),
+            jnp.asarray(args.loss_weights, jnp.float32),
+            n_iter=int(args.iter),
+            n_class=int(args.num_classes_test),
+            entropies=tuple(args.entropies),
+            lr=float(args.lr_alpha_tim),
+        )
+
+
+class TIM_GD(FewShotMethod):
+    """Shannon-entropy TIM with gradient descent (reference: tim.py:90-189)."""
+
+    def _infer(self, task):
+        args = self.args
+        self._log(f" ==> Executing TIM-GD with temp = {args.temp}")
+        return tim_infer(
+            task["x_s"],
+            task["x_q"],
+            task["y_s"],
+            jnp.float32(args.temp),
+            jnp.float32(1.0),
+            jnp.asarray(args.loss_weights, jnp.float32),
+            n_iter=int(args.iter),
+            n_class=int(args.num_classes_test),
+            entropies=("Shannon", "Shannon", "Shannon"),
+            lr=float(args.lr_tim),
+        )

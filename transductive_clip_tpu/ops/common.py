@@ -1,0 +1,14 @@
+"""Small shared tensor ops."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Matches the epsilon used throughout the reference methods
+# (reference: src/methods/zero_shot/em_dirichlet.py:20).
+EPS = 1e-15
+
+
+def get_one_hot(y, n_class, dtype=jnp.float32):
+    """One-hot encode integer labels [..., n] -> [..., n, n_class]."""
+    return (y[..., None] == jnp.arange(n_class, dtype=y.dtype)).astype(dtype)
