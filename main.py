@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""CLI entry point.
+
+Mirrors the reference protocol (reference: main.py):
+
+    python main.py --opts shots 0 dataset eurosat method em_dirichlet \
+                   number_tasks 1000 batch_size 100 ...
+
+shots > 0 dispatches the few-shot evaluator, shots == 0 the zero-shot one.
+The CLIP model is loaded lazily — cache-only evaluations never touch it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from transductive_clip_tpu.core.config import load_full_config
+from transductive_clip_tpu.core.logger import Logger, get_log_file
+from transductive_clip_tpu.eval import EvaluatorFewShot, EvaluatorZeroShot
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="transductive_clip_tpu")
+    parser.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    parser.add_argument("--config-root", default="config")
+    args = parser.parse_args()
+    return load_full_config(opts=args.opts, config_root=args.config_root)
+
+
+def maybe_load_clip(args):
+    """Load the JAX CLIP model only when caches are missing."""
+    import os
+
+    from transductive_clip_tpu.eval.few_shot import EvaluatorFewShot as _F
+    from transductive_clip_tpu.eval.zero_shot import EvaluatorZeroShot as _Z
+
+    if args.shots > 0:
+        paths = _F(args=args).cache_paths()
+    else:
+        paths = (_Z(args=args).query_cache_path(),)
+    need_model = not all(os.path.exists(p) for p in paths)
+    if not args.use_softmax_feature:
+        # the visual path needs text features for init/matching
+        safe_backbone = str(args.backbone).replace("/", "")
+        text_cache = os.path.join(
+            getattr(args, "root", "data"), args.dataset, "saved_features",
+            f"text_{safe_backbone}.plk",
+        )
+        need_model = need_model or not os.path.exists(text_cache)
+    if not need_model:
+        return None, None
+    from transductive_clip_tpu.models import clip as clip_jax
+
+    return clip_jax.load(args.backbone)
+
+
+def main():
+    args = parse_args()
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    log_file = get_log_file(
+        log_path=args.log_path, dataset=args.dataset, method=args.name_method
+    )
+    Logger(__name__, log_file)
+
+    model, preprocess = maybe_load_clip(args)
+    if args.shots > 0:
+        evaluator = EvaluatorFewShot(args=args, log_file=log_file)
+    else:
+        evaluator = EvaluatorZeroShot(args=args, log_file=log_file)
+    evaluator.run_full_evaluation(model=model, preprocess=preprocess)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""End-to-end evaluator tests on synthetic feature caches (no CLIP model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from transductive_clip_tpu.core.config import load_full_config
+from transductive_clip_tpu.eval import EvaluatorFewShot, EvaluatorZeroShot
+from transductive_clip_tpu.features.cache import save_feature_cache
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_ROOT = os.path.join(REPO, "config")
+
+
+def synth_features(rng, n_per_class=40, n_class=10, concentration=60.0):
+    feats, labels = [], []
+    for c in range(n_class):
+        alpha = np.ones(n_class)
+        alpha[c] += concentration
+        feats.append(rng.dirichlet(alpha, size=n_per_class).astype(np.float32))
+        labels.append(np.full(n_per_class, c, np.int64))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+@pytest.fixture
+def cfg_base(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+    def make(**over):
+        opts = []
+        for k, v in over.items():
+            opts += [k, str(v)]
+        cfg = load_full_config(opts=opts, config_root=CONFIG_ROOT)
+        cfg.save_results = True
+        return cfg
+
+    return make
+
+
+def test_zero_shot_end_to_end(cfg_base, rng, tmp_path):
+    cfg = cfg_base(
+        dataset="eurosat", method="hard_em_dirichlet", shots=0,
+        number_tasks=4, batch_size=2, n_query=30, seed=0, iter=6, iter_mm=100,
+    )
+    feats, labels = synth_features(rng)
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features",
+                     "test_softmax_RN50_T30.plk"),
+        feats, labels,
+    )
+    ev = EvaluatorZeroShot(args=cfg)
+    acc, t = ev.run_full_evaluation()
+    assert acc > 0.9
+    out = os.path.join(
+        "results_zero_shot", "test", "eurosat",
+        "HARD_EM_DIRICHLET_softmax_0shot.txt",
+    )
+    assert os.path.exists(out)
+    assert str(round(100 * acc, 1)) in open(out).read()
+
+
+def test_few_shot_end_to_end_with_tuning(cfg_base, rng):
+    cfg = cfg_base(
+        dataset="eurosat", method="paddle", shots=2,
+        number_tasks=4, batch_size=2, n_query=30, seed=0, iter=8,
+    )
+    feats_q, labels_q = synth_features(rng)
+    feats_s, labels_s = synth_features(rng)
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features",
+                     "test_softmax_RN50_T30.plk"), feats_q, labels_q)
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features",
+                     "train_softmax_RN50_T30.plk"), feats_s, labels_s)
+    # stored val grid -> the tuner must pick lambd = 5.0 (argmax row)
+    os.makedirs(os.path.join("results_few_shot", "val", "eurosat"))
+    with open(os.path.join("results_few_shot", "val", "eurosat",
+                           "PADDLE_softmax_s2.txt"), "w") as f:
+        f.write("val_param\tacc\n0.0\t10.0\t\n1.0\t50.0\t\n5.0\t80.0\t\n10.0\t70.0\t\n")
+    ev = EvaluatorFewShot(args=cfg)
+    acc, t = ev.run_full_evaluation()
+    assert cfg.lambd == 5.0
+    assert acc > 0.9
+
+
+def test_few_shot_val_sweep_appends_grid(cfg_base, rng):
+    cfg = cfg_base(
+        dataset="eurosat", method="bdcspn", shots=2, used_test_set="val",
+        number_tasks=2, batch_size=2, n_query=20, seed=0, temp=20.0,
+    )
+    feats_q, labels_q = synth_features(rng)
+    feats_s, labels_s = synth_features(rng)
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features",
+                     "val_softmax_RN50_T30.plk"), feats_q, labels_q)
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features",
+                     "train_softmax_RN50_T30.plk"), feats_s, labels_s)
+    ev = EvaluatorFewShot(args=cfg)
+    ev.run_full_evaluation()
+    grid = open(os.path.join("results_few_shot", "val", "eurosat",
+                             "BDCSPN_softmax_s2.txt")).read()
+    assert grid.startswith("val_param\tacc")
+    assert "20.0\t" in grid

@@ -1,0 +1,140 @@
+"""Zero-shot evaluator (reference: src/eval_zero_shot.py).
+
+Pipeline per batch of tasks: sampler -> gather feature rows -> stack into
+[n_task, n, d] -> jitted method -> accuracy + CI. The method object (and its
+compiled computation) is built once and reused across batches — the shapes
+are constant, so every batch after the first runs from the jit cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.logger import Logger
+from ..core.metrics import compute_confidence_interval
+from ..features.cache import (
+    load_feature_cache,
+    softmax_cache_path,
+    visual_cache_path,
+)
+from ..methods import get_zero_shot_method
+from ..tasks import (
+    CategoriesSamplerZeroShot,
+    SamplerQueryZeroShot,
+    TasksGeneratorZeroShot,
+)
+
+
+class EvaluatorZeroShot:
+    def __init__(self, device=None, args=None, log_file=None):
+        self.device = device
+        self.args = args
+        self.log_file = log_file
+        self.logger = Logger(__name__, log_file) if log_file else None
+
+    def _log(self, msg):
+        if self.logger:
+            self.logger.info(msg)
+
+    # ------------------------------------------------------------------
+    def query_cache_path(self):
+        args = self.args
+        if args.use_softmax_feature:
+            return softmax_cache_path(
+                args.dataset, args.used_test_set, args.backbone, args.T,
+                root=getattr(args, "root", "data"),
+            )
+        return visual_cache_path(
+            args.dataset, args.used_test_set, args.backbone,
+            root=getattr(args, "root", "data"),
+        )
+
+    def run_full_evaluation(self, model=None, preprocess=None):
+        """Extract features if needed, then evaluate over all tasks."""
+        args = self.args
+        text_features = None
+        path = self.query_cache_path()
+        if not os.path.exists(path):
+            from .extraction import ensure_features
+
+            ensure_features(args, model, preprocess, splits=(args.used_test_set,))
+        if not args.use_softmax_feature:
+            from .extraction import get_text_features
+
+            text_features = get_text_features(args, model)
+        features, labels = load_feature_cache(path)
+        mean_acc, mean_time = self.evaluate_tasks(
+            features, labels, text_features=text_features
+        )
+        self.report_results(mean_acc, mean_time)
+        return mean_acc, mean_time
+
+    # ------------------------------------------------------------------
+    def evaluate_tasks(self, features, labels, text_features=None):
+        args = self.args
+        self._log(
+            f"=> Running evaluation with method {args.name_method} "
+            f"on {args.dataset} ({args.used_test_set} set)"
+        )
+        rng = np.random.default_rng(args.seed if args.seed is not None else None)
+        method = get_zero_shot_method(
+            args.name_method, args=args, log_file=self.log_file
+        )
+
+        results_task, results_time = [], []
+        n_batches = int(args.number_tasks / args.batch_size)
+        for _ in range(n_batches):
+            sampler = CategoriesSamplerZeroShot(
+                args.batch_size, args.k_eff, args.n_class, args.n_query,
+                force_query_size=True, rng=rng,
+            )
+            sampler.create_list_classes(labels)
+            loader = [
+                (features[idx], labels[idx])
+                for idx in SamplerQueryZeroShot(sampler)
+            ]
+            tasks = TasksGeneratorZeroShot(
+                k_eff=args.k_eff, n_query=args.n_query, n_class=args.n_class,
+                loader_query=loader, args=args,
+            ).generate_tasks()
+            if text_features is not None:
+                tasks["text_features"] = text_features
+
+            logs = method.run_task(tasks)
+            acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
+            results_task.append(acc_mean)
+            results_time.append(logs["timestamps"])
+
+        return float(np.mean(results_task)), float(np.mean(results_time))
+
+    # ------------------------------------------------------------------
+    def report_results(self, mean_accuracies, mean_times):
+        args = self.args
+        self._log("----- Final results -----")
+        word = "_softmax" if args.use_softmax_feature else "_visual"
+        self._log(
+            f"{args.shots}-shot mean test accuracy over "
+            f"{args.number_tasks} tasks: {mean_accuracies}"
+        )
+        self._log(
+            f"{args.shots}-shot mean time over "
+            f"{args.number_tasks} tasks: {mean_times}"
+        )
+        if args.save_results:
+            path = os.path.join(
+                "results_zero_shot", str(args.used_test_set), str(args.dataset)
+            )
+            os.makedirs(path, exist_ok=True)
+            name_file = os.path.join(
+                path, f"{args.name_method}{word}_{args.shots}shot.txt"
+            )
+            new_file = not os.path.isfile(name_file)
+            with open(name_file, "a") as f:
+                if new_file:
+                    f.write("shots\tn_query\tn_task\tacc\n\t\n")
+                f.write(
+                    f"{args.shots}\t{args.n_query}\t{args.number_tasks}\t"
+                    f"{round(100 * mean_accuracies, 1)}\t\n"
+                )

@@ -1,0 +1,52 @@
+"""Feature cache.
+
+The cache is the framework's checkpoint system (as in the reference, where
+rerun skips straight to loading — reference: src/utils.py:266-271). Layout
+and naming match the reference so existing caches are reusable:
+
+    data/<dataset>/saved_features/{set}_softmax_{backbone}_T{T}.plk
+    data/<dataset>/saved_features/{set}_visual_{backbone}.plk
+
+Payload: {'concat_features': [N, K or D] float32, 'concat_labels': [N]}.
+Files written by the torch reference (torch tensors) load transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.io import load_pickle, save_pickle
+
+
+def softmax_cache_path(dataset, set_name, backbone, T, root="data"):
+    return os.path.join(
+        root, dataset, "saved_features",
+        f"{set_name}_softmax_{backbone}_T{T}.plk",
+    )
+
+
+def visual_cache_path(dataset, set_name, backbone, root="data"):
+    return os.path.join(
+        root, dataset, "saved_features", f"{set_name}_visual_{backbone}.plk"
+    )
+
+
+def load_feature_cache(path):
+    """Returns (features [N, d] float32 ndarray, labels [N] int64 ndarray)."""
+    d = load_pickle(path)
+    feats = np.asarray(d["concat_features"], np.float32)
+    labels = np.asarray(d["concat_labels"], np.int64)
+    return feats, labels
+
+
+def save_feature_cache(path, features, labels):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_pickle(
+        path,
+        {
+            "concat_features": np.asarray(features, np.float32),
+            "concat_labels": np.asarray(labels, np.int64),
+        },
+    )
