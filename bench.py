@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: EM-Dirichlet zero-shot throughput at ImageNet scale.
+
+Protocol (matching the paper's Table 2 timing column): batches of 100
+transductive tasks, n_query = 75, K = 1000 classes, 20 EM iterations with
+iter_mm = 1000 MM inner iterations — the reference reports 1.04 s/task for
+EM-Dirichlet on an (unspecified) GPU. This benchmark runs the full jitted
+method (alpha state: [100, 1000, 1000] fp32) on one TPU chip and reports
+tasks/second; ``vs_baseline`` is the speedup over the reference's 1.04
+s/task.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS_PER_TASK = 1.04  # Table 2 (BASELINE.md), EM-Dirichlet, ImageNet
+
+N_TASK = 100
+N_QUERY = 75
+N_CLASS = 1000
+N_ITER = 20
+ITER_MM = 1000
+
+
+def synth_tasks(rng, n_task, n_query, n_class, k_eff_range=(3, 10)):
+    """ImageNet-scale synthetic softmax features (class-peaked Dirichlet)."""
+    x = np.empty((n_task, n_query, n_class), np.float32)
+    base = np.ones(n_class, np.float64)
+    for t in range(n_task):
+        k_eff = rng.integers(k_eff_range[0], k_eff_range[1] + 1)
+        classes = rng.choice(n_class, size=k_eff, replace=False)
+        labels = rng.choice(classes, size=n_query)
+        for i, c in enumerate(labels):
+            alpha = base.copy()
+            alpha[c] += 60.0
+            x[t, i] = rng.dirichlet(alpha)
+    return x
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.zero_shot.em_dirichlet import (
+        em_dirichlet_infer,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(synth_tasks(rng, N_TASK, N_QUERY, N_CLASS))
+    lambd = jnp.float32(int(N_CLASS / 5) * N_QUERY)
+
+    from transductive_clip_tpu.ops.common import device_sync
+
+    # compile + warmup
+    u, crit = em_dirichlet_infer(
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka"
+    )
+    device_sync(u)
+
+    t0 = time.perf_counter()
+    u, crit = em_dirichlet_infer(
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka"
+    )
+    device_sync(u)
+    elapsed = time.perf_counter() - t0
+
+    tasks_per_sec = N_TASK / elapsed
+    vs_baseline = tasks_per_sec * REFERENCE_SECONDS_PER_TASK
+    print(
+        json.dumps(
+            {
+                "metric": "em_dirichlet_imagenet_zero_shot_throughput",
+                "value": round(tasks_per_sec, 3),
+                "unit": "tasks/sec",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,18 +3,35 @@
 Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
 (task-DP x class-TP meshes) can be exercised without TPU hardware — the
 TPU-native analog of a fake distributed backend.
+
+Environment quirk: this machine's sitecustomize (axon TPU plugin) imports
+jax at interpreter startup, before pytest loads conftest — too late to set
+XLA_FLAGS or the platform. If the flags were not present at startup, we
+re-exec the interpreter once with the right environment.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does force CPU
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_WANT_FLAGS = "--xla_force_host_platform_device_count=8"
+
+
+def _needs_reexec():
+    if os.environ.get("_TCLIP_TESTS_REEXECED") == "1":
+        return False
+    flags = os.environ.get("XLA_FLAGS", "")
+    return (
+        _WANT_FLAGS not in flags
+        or os.environ.get("JAX_PLATFORM_NAME") != "cpu"
+    )
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _WANT_FLAGS).strip()
+    env["JAX_PLATFORM_NAME"] = "cpu"  # the axon plugin ignores JAX_PLATFORMS
+    env["_TCLIP_TESTS_REEXECED"] = "1"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 import numpy as np
 import pytest

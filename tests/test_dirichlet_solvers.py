@@ -1,0 +1,70 @@
+"""The fast Minka solver must reach the same fixed point (and the same task
+accuracies) as the reference-exact MM solver."""
+
+import numpy as np
+from scipy.special import digamma as sp_digamma
+
+import jax.numpy as jnp
+
+from transductive_clip_tpu.core.config import CfgNode
+from transductive_clip_tpu.methods import get_zero_shot_method
+from transductive_clip_tpu.ops.dirichlet import minka_update_alpha, mm_update_alpha
+from transductive_clip_tpu.ops.special import (
+    digamma_pos,
+    inv_digamma,
+    lgamma_pos,
+    trigamma_pos,
+)
+
+
+def test_special_functions_vs_scipy(rng):
+    from scipy.special import gammaln, polygamma
+
+    x = np.concatenate(
+        [np.linspace(1e-5, 1, 40), np.linspace(1, 60, 60),
+         np.linspace(60, 4000, 40)]
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    dg = np.abs(np.asarray(digamma_pos(xj)) - sp_digamma(x))
+    assert (dg / (np.abs(sp_digamma(x)) + 1.0)).max() < 1e-4
+    tg = np.abs(np.asarray(trigamma_pos(xj)) - polygamma(1, x))
+    assert (tg / (np.abs(polygamma(1, x)) + 1.0)).max() < 1e-4
+    lg = np.abs(np.asarray(lgamma_pos(xj)) - gammaln(x))
+    assert (lg / (np.abs(gammaln(x)) + 1.0)).max() < 1e-4
+
+
+def test_inv_digamma_roundtrip(rng):
+    x = np.concatenate([np.linspace(0.01, 1, 50), np.linspace(1, 100, 50)])
+    y = sp_digamma(x)
+    xi = np.asarray(inv_digamma(jnp.asarray(y, jnp.float32)))
+    assert (np.abs(xi - x) / x).max() < 5e-4
+
+
+def test_minka_matches_mm_fixed_point(rng):
+    K = 12
+    x = rng.dirichlet(np.ones(K) * 0.3, size=500)
+    y = np.log(x + 1e-15).mean(0)
+    Y = jnp.asarray(np.tile(y, (2, K, 1)), jnp.float32)
+    a0 = jnp.ones((2, K, K), jnp.float32)
+    a_mm = np.asarray(mm_update_alpha(a0, Y))
+    a_mk = np.asarray(minka_update_alpha(a0, Y))
+    # both satisfy the stationarity equation and agree with each other
+    for a in (a_mm, a_mk):
+        resid = sp_digamma(a[0, 0]) - sp_digamma(a[0, 0].sum()) - y
+        assert np.abs(resid).max() < 5e-3
+    assert np.abs(a_mm - a_mk).max() / np.abs(a_mm).max() < 1e-3
+
+
+def test_em_dirichlet_solver_parity_on_accuracy(simplex_tasks):
+    x, y = simplex_tasks
+    accs = {}
+    for solver in ("mm", "minka"):
+        cfg = CfgNode(
+            dict(num_classes_test=8, n_class=8, n_query=40, iter=8,
+                 iter_mm=300, T=30, use_softmax_feature=True,
+                 graph_matching=True, dirichlet_solver=solver)
+        )
+        m = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+        accs[solver] = m.run_task({"x_q": x, "y_q": y})["acc"][:, -1]
+    np.testing.assert_allclose(accs["mm"], accs["minka"], atol=0.03)
+    assert accs["minka"].mean() > 0.9

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.logger import Logger
-from ..ops.common import EPS, get_one_hot
+from ..ops.common import EPS, device_sync, get_one_hot
 from ..ops.matching import basic_matching, cluster_prototypes, hungarian_matching
 from ..ops.precision import f32_einsum
 
@@ -128,7 +128,7 @@ class TransductiveMethod:
 
         t0 = time.perf_counter()
         u, criterions = self._infer(task)
-        u = jax.block_until_ready(u)
+        u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
 
@@ -176,7 +176,7 @@ class FewShotMethod(TransductiveMethod):
 
         t0 = time.perf_counter()
         u, criterions = self._infer(task)
-        u = jax.block_until_ready(u)
+        u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
 

@@ -15,14 +15,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, get_one_hot
-from ...ops.dirichlet import dirichlet_log_pdf, mm_update_alpha
+from ...ops.dirichlet import dirichlet_log_pdf, update_alpha
 from ..base import FewShotMethod
 from ...ops.precision import f32_einsum
 
 
-@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard"))
+@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard", "solver"))
 def em_dirichlet_fs_infer(support, query, y_s, lambd,
-                          n_iter: int, iter_mm: int, n_class: int, hard: bool):
+                          n_iter: int, iter_mm: int, n_class: int, hard: bool,
+                          solver: str = "mm"):
     """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s]."""
     n_task, n_query, _ = query.shape
     log_s = jnp.log(support + EPS)
@@ -41,7 +42,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         u_sum = jnp.sum(u, axis=1)
         query_stat = f32_einsum("tnk,tnd->tkd", u, log_q)
         y_cst = (supp_stat + query_stat) / (y_s_sum + u_sum)[..., None]
-        alpha = mm_update_alpha(alpha_old, y_cst, iter_mm=iter_mm)
+        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
         v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
         logits = dirichlet_log_pdf(log_q, alpha)
         u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
@@ -65,6 +66,7 @@ class EM_DIRICHLET(FewShotMethod):
         )
         self.n_iter = int(args.iter)
         self.iter_mm = int(args.iter_mm)
+        self.solver = str(args.get("dirichlet_solver", "minka"))
 
     def _infer(self, task):
         if not self.args.use_softmax_feature:
@@ -85,4 +87,5 @@ class EM_DIRICHLET(FewShotMethod):
             iter_mm=self.iter_mm,
             n_class=int(self.args.num_classes_test),
             hard=self.hard,
+            solver=self.solver,
         )

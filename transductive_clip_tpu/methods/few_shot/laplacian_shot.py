@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.common import device_sync
 from ...ops.distances import sq_euclidean
 from ..base import FewShotMethod
 from .paddle import support_class_means
@@ -108,7 +109,7 @@ class LAPLACIAN_SHOT(FewShotMethod):
             n_class=int(self.args.num_classes_test),
             norm_type=str(self.args.norm_type),
         )
-        acc_trace = np.asarray(jax.block_until_ready(acc_trace))
+        acc_trace = np.asarray(device_sync(acc_trace))
         elapsed = time.perf_counter() - t0
         preds = np.asarray(jnp.argmax(Y, axis=-1))
         return {

@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, get_one_hot
-from ...ops.dirichlet import dirichlet_log_pdf, mm_update_alpha, weighted_log_means
+from ...ops.dirichlet import dirichlet_log_pdf, update_alpha, weighted_log_means
 from ..base import TransductiveMethod, init_soft_assignments
 
 
-@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard"))
-def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool):
+@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver"))
+def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
+                       solver: str = "mm"):
     """Run EM-Dirichlet on a batch of tasks.
 
     query: [N, n, K] softmax features. Returns (u [N, n, K], criterions [n_iter]).
@@ -40,7 +41,7 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool):
         u, v, alpha_old = carry
         # ---- alpha: MM solve of the weighted-log-mean moment equations ----
         y_cst, nonzero = weighted_log_means(u, log_query, eps=EPS)
-        alpha = mm_update_alpha(alpha_old, y_cst, iter_mm=iter_mm)
+        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
         # keep previous alpha rows for empty clusters
         # (reference: em_dirichlet.py:224-226)
         alpha = jnp.where(nonzero, alpha, alpha_old)
@@ -73,6 +74,9 @@ class EM_DIRICHLET(TransductiveMethod):
         self.lambd = float(int(args.num_classes_test / 5) * args.n_query)
         self.n_iter = int(args.iter)
         self.iter_mm = int(args.iter_mm)
+        # 'minka' (fast inverse-digamma fixed point, default) or 'mm'
+        # (reference-exact surrogate loop); same stationary equation
+        self.solver = str(args.get("dirichlet_solver", "minka"))
 
     def _infer(self, task):
         if not self.args.use_softmax_feature:
@@ -90,4 +94,5 @@ class EM_DIRICHLET(TransductiveMethod):
             n_iter=self.n_iter,
             iter_mm=self.iter_mm,
             hard=self.hard,
+            solver=self.solver,
         )

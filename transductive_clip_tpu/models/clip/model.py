@@ -1,0 +1,130 @@
+"""Top-level CLIP model: frozen image + text towers, jitted encoders, and a
+loader mirroring the reference's ``clip.load(backbone, device)``
+(reference: main.py:50).
+
+Weights: converted from an OpenAI CLIP checkpoint (.pt) found under
+``$CLIP_WEIGHTS_DIR`` (default ``data/clip_weights``); without a checkpoint
+``load(..., allow_random=True)`` initializes random weights (tests,
+benchmarks, shape checks).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CLIP_CONFIGS, CLIPConfig
+from .resnet import ModifiedResNet
+from .text import TextTransformer
+from .vit import VisionTransformer
+
+
+class CLIPModule(nn.Module):
+    cfg: CLIPConfig
+
+    def setup(self):
+        if self.cfg.vision.is_resnet:
+            self.visual = ModifiedResNet(self.cfg.vision, self.cfg.embed_dim)
+        else:
+            self.visual = VisionTransformer(self.cfg.vision, self.cfg.embed_dim)
+        self.text = TextTransformer(self.cfg.text, self.cfg.embed_dim)
+        self.logit_scale = self.param(
+            "logit_scale", lambda *_: jnp.asarray(np.log(1 / 0.07), jnp.float32), ()
+        )
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T
+
+
+class JaxCLIP:
+    """Host-side wrapper holding params + jitted encoders."""
+
+    def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self.module = CLIPModule(cfg)
+        self._encode_image = jax.jit(
+            lambda p, x: self.module.apply(p, x, method=CLIPModule.encode_image)
+        )
+        self._encode_text = jax.jit(
+            lambda p, t: self.module.apply(p, t, method=CLIPModule.encode_text)
+        )
+        self._tokenizer = None
+
+    # -- image ---------------------------------------------------------
+    def encode_image_batch(self, images):
+        """images: [b, H, W, 3] float32 (CLIP-normalized, NHWC)."""
+        return self._encode_image(self.params, jnp.asarray(images))
+
+    # -- text ----------------------------------------------------------
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from .tokenizer import SimpleTokenizer
+
+            self._tokenizer = SimpleTokenizer()
+        return self._tokenizer
+
+    def encode_text_prompts(self, prompts):
+        tokens = np.stack(
+            [self.tokenizer.encode_padded(p, self.cfg.text.context_length)
+             for p in prompts]
+        )
+        return self._encode_text(self.params, jnp.asarray(tokens, jnp.int32))
+
+
+def init_random_params(cfg: CLIPConfig, seed: int = 0):
+    module = CLIPModule(cfg)
+    images = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                       jnp.float32)
+    tokens = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+    return module.init(jax.random.PRNGKey(seed), images, tokens)
+
+
+def checkpoint_path(backbone: str) -> str:
+    root = os.environ.get("CLIP_WEIGHTS_DIR", os.path.join("data", "clip_weights"))
+    safe = backbone.replace("/", "-")
+    return os.path.join(root, f"{safe}.pt")
+
+
+def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0):
+    """Returns (model, preprocess) like the reference's clip.load."""
+    if backbone not in CLIP_CONFIGS:
+        raise ValueError(
+            f"Unknown backbone {backbone!r}; choose from {sorted(CLIP_CONFIGS)}"
+        )
+    cfg = CLIP_CONFIGS[backbone]
+    ckpt = checkpoint_path(backbone)
+    if os.path.exists(ckpt):
+        from .convert import convert_openai_checkpoint
+
+        params = convert_openai_checkpoint(ckpt, cfg)
+    elif allow_random:
+        params = init_random_params(cfg, seed)
+    else:
+        raise FileNotFoundError(
+            f"No CLIP checkpoint at {ckpt}. Download the OpenAI {backbone} "
+            "weights there (offline environments: copy the .pt file), or pass "
+            "allow_random=True for architecture-only runs."
+        )
+    from .preprocess import make_preprocess
+
+    model = JaxCLIP(cfg, params)
+    return model, make_preprocess(cfg.vision.image_size)

@@ -1,0 +1,34 @@
+"""Host-side image preprocessing matching CLIP's eval transform:
+resize (bicubic, short side = image_size), center crop, scale to [0, 1],
+normalize with CLIP statistics. Output is NHWC float32 for the TPU towers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def make_preprocess(image_size: int = 224):
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("PIL is required for image preprocessing") from e
+
+    def preprocess(img) -> np.ndarray:
+        """PIL image -> [H, W, 3] float32, CLIP normalized."""
+        w, h = img.size
+        scale = image_size / min(w, h)
+        img = img.resize(
+            (round(w * scale), round(h * scale)), Image.BICUBIC
+        )
+        w, h = img.size
+        left = (w - image_size) // 2
+        top = (h - image_size) // 2
+        img = img.crop((left, top, left + image_size, top + image_size))
+        arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+        return (arr - CLIP_MEAN) / CLIP_STD
+
+    return preprocess

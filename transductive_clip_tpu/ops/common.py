@@ -12,3 +12,19 @@ EPS = 1e-15
 def get_one_hot(y, n_class, dtype=jnp.float32):
     """One-hot encode integer labels [..., n] -> [..., n, n_class]."""
     return (y[..., None] == jnp.arange(n_class, dtype=y.dtype)).astype(dtype)
+
+
+def device_sync(x):
+    """Block until ``x`` is computed.
+
+    ``block_until_ready`` returns immediately on some remote/tunneled
+    backends (observed on the axon TPU plugin), so timing and completion
+    barriers instead force a scalar reduction + host transfer, which cannot
+    complete before the producing computation does.
+    """
+    import jax
+
+    leaves = jax.tree.leaves(x)
+    if leaves:
+        float(jnp.sum(leaves[0].ravel()[:1]))
+    return x

@@ -1,0 +1,87 @@
+"""Special functions specialized to the Dirichlet solvers' domain (x > 0).
+
+XLA's generic digamma/lgamma carry reflection and negative-axis handling we
+never need (alpha > 0 always). These implementations use the standard
+recurrence-shift + asymptotic-series scheme on the positive axis only, cost
+a fraction of the generic kernels on the VPU, and are Pallas-compatible
+(plain jnp element-wise ops).
+
+``inv_digamma`` (Newton on psi) powers the fast fixed-point Dirichlet solver
+(Minka 2000, "Estimating a Dirichlet distribution"): alpha_d = psi^{-1}(
+psi(sum alpha) + y_d) — the same stationary equation as the reference's MM
+loop, reached in ~10x fewer transcendental evaluations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EULER_GAMMA = 0.5772156649015329
+
+
+def digamma_pos(x):
+    """digamma(x) for x > 0 (asymptotic series after shifting x above 6)."""
+    # recurrence: psi(x) = psi(x + 1) - 1/x, applied 6 times
+    acc = jnp.zeros_like(x)
+    for _ in range(6):
+        acc = acc - 1.0 / x
+        x = x + 1.0
+    # asymptotic: ln x - 1/(2x) - 1/(12x^2) + 1/(120x^4) - 1/(252x^6)
+    inv = 1.0 / x
+    inv2 = inv * inv
+    series = (
+        jnp.log(x)
+        - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    )
+    return series + acc
+
+
+def trigamma_pos(x):
+    """trigamma(x) for x > 0."""
+    acc = jnp.zeros_like(x)
+    for _ in range(6):
+        acc = acc + 1.0 / (x * x)
+        x = x + 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    # 1/x + 1/(2x^2) + 1/(6x^3) - 1/(30x^5) + 1/(42x^7)
+    series = inv + 0.5 * inv2 + inv * inv2 * (
+        1.0 / 6.0 - inv2 * (1.0 / 30.0 - inv2 / 42.0)
+    )
+    return series + acc
+
+
+def lgamma_pos(x):
+    """log Gamma(x) for x > 0 (Stirling after shifting x above 6)."""
+    shift = jnp.zeros_like(x)
+    for _ in range(6):
+        shift = shift + jnp.log(x)
+        x = x + 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    # Stirling: (x-1/2) ln x - x + ln(2 pi)/2 + 1/(12x) - 1/(360x^3) + 1/(1260x^5)
+    series = (
+        (x - 0.5) * jnp.log(x)
+        - x
+        + 0.9189385332046727
+        + inv * (1.0 / 12.0 - inv2 * (1.0 / 360.0 - inv2 / 1260.0))
+    )
+    return series - shift
+
+
+def inv_digamma(y, newton_iters: int = 3):
+    """Inverse digamma on the positive axis: x with psi(x) = y.
+
+    Initialization from Minka (2000) appendix: exp(y) + 1/2 for y >= -2.22,
+    -1/(y + gamma) otherwise; then Newton steps x -= (psi(x) - y)/psi'(x).
+    """
+    x = jnp.where(
+        y >= -2.22,
+        jnp.exp(y) + 0.5,
+        -1.0 / (y + EULER_GAMMA),
+    )
+    for _ in range(newton_iters):
+        x = x - (digamma_pos(x) - y) / trigamma_pos(x)
+        x = jnp.maximum(x, 1e-10)
+    return x
