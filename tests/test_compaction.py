@@ -1,0 +1,45 @@
+"""Cluster compaction must not change EM-Dirichlet results when K is large
+relative to the number of populated clusters."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from transductive_clip_tpu.methods.zero_shot.em_dirichlet import em_dirichlet_infer
+
+from conftest import make_simplex_tasks
+
+
+def test_compact_matches_full(rng):
+    # K = 120 classes, only 5 present per task, 20 queries -> compaction on
+    x, y = make_simplex_tasks(
+        rng, n_task=3, n_query=20, n_class=120, k_eff=5, concentration=80.0
+    )
+    lambd = float(int(120 / 5) * 20)
+    kw = dict(n_iter=6, iter_mm=200, hard=False, solver="minka")
+    u_full, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                   compact=False, **kw)
+    u_comp, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                   compact=True, **kw)
+    pred_full = np.asarray(u_full).argmax(-1)
+    pred_comp = np.asarray(u_comp).argmax(-1)
+    # identical predictions, near-identical posteriors
+    np.testing.assert_array_equal(pred_full, pred_comp)
+    np.testing.assert_allclose(
+        np.asarray(u_full), np.asarray(u_comp), atol=1e-4
+    )
+
+
+def test_compact_hard_variant(rng):
+    x, y = make_simplex_tasks(
+        rng, n_task=2, n_query=20, n_class=120, k_eff=4, concentration=80.0
+    )
+    lambd = float(int(120 / 5) * 20)
+    kw = dict(n_iter=4, iter_mm=200, hard=True, solver="minka")
+    u_full, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                   compact=False, **kw)
+    u_comp, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                   compact=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(u_full).argmax(-1), np.asarray(u_comp).argmax(-1)
+    )

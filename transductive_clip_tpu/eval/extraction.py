@@ -49,7 +49,8 @@ def get_text_features(args, model, classnames=None, template=None):
         dataset = build_dataset(args.dataset, args.dataset_path)
         classnames, template = dataset.classnames, dataset.template
     prompts = [template.format(c.replace("_", " ")) for c in classnames]
-    text_features = np.asarray(model.encode_text_prompts(prompts), np.float32)
+    # np.array (copy): encoders may return read-only views of device arrays
+    text_features = np.array(model.encode_text_prompts(prompts), np.float32)
     text_features /= np.linalg.norm(text_features, axis=-1, keepdims=True)
 
     from ..core.io import save_pickle
@@ -94,7 +95,7 @@ def ensure_features(args, model, preprocess=None, splits=("test",)):
             split_sources[split], preprocess=preprocess,
             batch_size=getattr(args, "extract_batch_size", 256),
         ):
-            image_features = np.asarray(model.encode_image_batch(images), np.float32)
+            image_features = np.array(model.encode_image_batch(images), np.float32)
             image_features /= np.linalg.norm(image_features, axis=-1, keepdims=True)
             if args.use_softmax_feature:
                 logits = args.T * image_features @ text_features.T

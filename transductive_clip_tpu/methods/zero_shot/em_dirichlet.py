@@ -1,15 +1,24 @@
 """EM-Dirichlet zero-shot clustering (soft and hard assignment variants).
 
 Clusters softmax features with per-class Dirichlet densities via block
-coordinate updates (alpha via MM solver, dual v = log class proportions,
-soft/hard assignments u). Functional port of the reference algorithm
-(reference: src/methods/zero_shot/em_dirichlet.py:124-246 and
-hard_em_dirichlet.py:124-271) re-designed for TPU:
+coordinate updates (alpha via a device-side fixed-point solver, dual
+v = log class proportions, soft/hard assignments u). Functional port of the
+reference algorithm (reference: src/methods/zero_shot/em_dirichlet.py:124-246
+and hard_em_dirichlet.py:124-271) re-designed for TPU:
 
 * the whole outer EM loop is one ``lax.scan`` under jit,
-* the MM inner loop is a device-side ``lax.while_loop``
-  (see ops/dirichlet.py), with no host synchronization anywhere,
-* the per-cluster statistics and Dirichlet log-density are batched matmuls.
+* the alpha solve is a device-side ``lax.while_loop`` (ops/dirichlet.py) —
+  reference-exact MM surrogate or the fast Minka inverse-digamma fixed point
+  (same stationary equation), with no host synchronization anywhere,
+* per-cluster statistics and the Dirichlet log-density are batched matmuls,
+* **cluster compaction**: from the second EM iteration on, the huge lambda*v
+  class-proportion term makes u numerically one-hot, so at most ~n_query of
+  the K clusters are non-empty. The alpha solve then runs only on the top-C
+  clusters by mass (C = n_query + margin); the remaining rows keep their
+  previous alpha exactly as the reference does for empty clusters
+  (reference: em_dirichlet.py:224-226). At ImageNet scale (K=1000,
+  n_query=75) this cuts the solver's work ~10x with bit-equal results for
+  every actually-nonzero cluster.
 """
 
 from __future__ import annotations
@@ -21,46 +30,103 @@ import jax.numpy as jnp
 
 from ...ops.common import EPS, get_one_hot
 from ...ops.dirichlet import dirichlet_log_pdf, update_alpha, weighted_log_means
-from ..base import TransductiveMethod, init_soft_assignments
+from ...ops.precision import f32_einsum
+from ..base import TransductiveMethod
 
 
-@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver"))
+# margin on top of n_query for the compacted cluster count
+_COMPACT_MARGIN = 16
+
+
+def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
+                  iter_mm, solver, hard):
+    """One full-width EM iteration (all K cluster rows solved)."""
+    y_cst, nonzero = weighted_log_means(u, log_query, eps=EPS)
+    alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
+    # keep previous alpha rows for empty clusters (reference: :224-226)
+    alpha = jnp.where(nonzero, alpha, alpha_old)
+    v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
+    logits = dirichlet_log_pdf(log_query, alpha)
+    u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
+    if hard:
+        u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
+    return u, v, alpha
+
+
+def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
+                     iter_mm, solver, hard, n_compact):
+    """EM iteration solving alpha only for the top-``n_compact`` clusters."""
+    n_task = u.shape[0]
+    u_sum = jnp.sum(u, axis=1)                                    # [N, K]
+    mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
+    u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)         # [N, n, C]
+    y_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
+    y_c = y_c / jnp.maximum(mass, EPS)[..., None]
+    nonzero_c = (mass > EPS)[..., None]
+    y_c = jnp.where(nonzero_c, y_c, -10.0)
+    alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
+    alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
+    alpha_c = jnp.where(nonzero_c, alpha_c, alpha_c_old)
+    alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
+
+    v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
+    logits = dirichlet_log_pdf(log_query, alpha)
+    u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
+    if hard:
+        u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
+    return u, v, alpha
+
+
+def _criterion(alpha_old, alpha):
+    n_task = alpha.shape[0]
+    diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
+    denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
+    return jnp.mean(diff / denom)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
+                                   "compact"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
-                       solver: str = "mm"):
+                       solver: str = "mm", compact: bool = True):
     """Run EM-Dirichlet on a batch of tasks.
 
     query: [N, n, K] softmax features. Returns (u [N, n, K], criterions [n_iter]).
     """
     n_task, n_query, n_class = query.shape
     log_query = jnp.log(query + EPS)
-    u0 = query
-    v0 = jnp.zeros((n_task, n_class), jnp.float32)
-    alpha0 = jnp.ones((n_task, n_class, n_class), jnp.float32)
+    u = query
+    v = jnp.zeros((n_task, n_class), jnp.float32)
+    alpha = jnp.ones((n_task, n_class, n_class), jnp.float32)
+
+    n_compact = min(n_class, n_query + _COMPACT_MARGIN)
+    use_compact = compact and n_class > 2 * n_compact
+
+    # iteration 1 always runs full width: u = raw softmax features touches
+    # every cluster
+    alpha_old = alpha
+    u, v, alpha = _em_step_full(
+        u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver, hard
+    )
+    first_crit = _criterion(alpha_old, alpha)
 
     def step(carry, _):
         u, v, alpha_old = carry
-        # ---- alpha: MM solve of the weighted-log-mean moment equations ----
-        y_cst, nonzero = weighted_log_means(u, log_query, eps=EPS)
-        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
-        # keep previous alpha rows for empty clusters
-        # (reference: em_dirichlet.py:224-226)
-        alpha = jnp.where(nonzero, alpha, alpha_old)
-        # ---- dual variable: log class proportions + 1 ----
-        v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
-        # ---- assignments ----
-        logits = dirichlet_log_pdf(log_query, alpha)
-        u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
-        if hard:
-            u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-        # ---- convergence telemetry (collected, not synced) ----
-        diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
-        denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
-        crit = jnp.mean(diff / denom)
-        return (u, v, alpha), crit
+        if use_compact:
+            u, v, alpha = _em_step_compact(
+                u, v, alpha_old, log_query, lambd, n_query, n_class,
+                iter_mm, solver, hard, n_compact,
+            )
+        else:
+            u, v, alpha = _em_step_full(
+                u, v, alpha_old, log_query, lambd, n_query, n_class,
+                iter_mm, solver, hard,
+            )
+        return (u, v, alpha), _criterion(alpha_old, alpha)
 
     (u, _, _), criterions = jax.lax.scan(
-        step, (u0, v0, alpha0), None, length=n_iter
+        step, (u, v, alpha), None, length=n_iter - 1
     )
+    criterions = jnp.concatenate([first_crit[None], criterions])
     return u, criterions
 
 
@@ -77,6 +143,7 @@ class EM_DIRICHLET(TransductiveMethod):
         # 'minka' (fast inverse-digamma fixed point, default) or 'mm'
         # (reference-exact surrogate loop); same stationary equation
         self.solver = str(args.get("dirichlet_solver", "minka"))
+        self.compact = bool(args.get("compact_clusters", True))
 
     def _infer(self, task):
         if not self.args.use_softmax_feature:
@@ -95,4 +162,5 @@ class EM_DIRICHLET(TransductiveMethod):
             iter_mm=self.iter_mm,
             hard=self.hard,
             solver=self.solver,
+            compact=self.compact,
         )
