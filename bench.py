@@ -59,13 +59,13 @@ def main():
 
     # compile + warmup
     u, crit = em_dirichlet_infer(
-        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka"
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="pallas"
     )
     device_sync(u)
 
     t0 = time.perf_counter()
     u, crit = em_dirichlet_infer(
-        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka"
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="pallas"
     )
     device_sync(u)
     elapsed = time.perf_counter() - t0

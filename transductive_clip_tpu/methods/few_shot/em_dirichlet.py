@@ -66,7 +66,13 @@ class EM_DIRICHLET(FewShotMethod):
         )
         self.n_iter = int(args.iter)
         self.iter_mm = int(args.iter_mm)
-        self.solver = str(args.get("dirichlet_solver", "minka"))
+        solver = str(args.get("dirichlet_solver", "auto"))
+        if solver == "auto":
+            # fused Pallas kernel on TPU; XLA Minka elsewhere
+            import jax
+
+            solver = "pallas" if jax.default_backend() == "tpu" else "minka"
+        self.solver = solver
 
     def _infer(self, task):
         if not self.args.use_softmax_feature:

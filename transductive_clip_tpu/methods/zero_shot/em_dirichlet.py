@@ -142,7 +142,13 @@ class EM_DIRICHLET(TransductiveMethod):
         self.iter_mm = int(args.iter_mm)
         # 'minka' (fast inverse-digamma fixed point, default) or 'mm'
         # (reference-exact surrogate loop); same stationary equation
-        self.solver = str(args.get("dirichlet_solver", "minka"))
+        solver = str(args.get("dirichlet_solver", "auto"))
+        if solver == "auto":
+            # fused Pallas kernel on TPU; XLA Minka elsewhere
+            import jax
+
+            solver = "pallas" if jax.default_backend() == "tpu" else "minka"
+        self.solver = solver
         self.compact = bool(args.get("compact_clusters", True))
 
     def _infer(self, task):

@@ -140,8 +140,12 @@ def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
 
 
 def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm"):
-    """Dispatch between the reference-exact MM solver and the fast Minka
-    fixed point (identical stationary equation)."""
+    """Dispatch between the reference-exact MM solver, the fast Minka fixed
+    point, and the fused Pallas kernel (identical stationary equation)."""
+    if solver == "pallas":
+        from .pallas_dirichlet import pallas_dirichlet_solve
+
+        return pallas_dirichlet_solve(alpha0, y_cst)
     if solver == "minka":
         return minka_update_alpha(alpha0, y_cst)
     return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)

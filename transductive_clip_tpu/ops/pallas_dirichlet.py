@@ -1,0 +1,112 @@
+"""Fused Pallas TPU kernel for the Dirichlet concentration solve.
+
+The XLA path (ops/dirichlet.py) runs each fixed-point iteration as its own
+fusion, streaming the [N, K, K] alpha state through HBM every iteration and
+testing one *global* convergence criterion. This kernel instead:
+
+* tiles alpha into [BK, K] cluster-row blocks that stay **VMEM-resident
+  across all solver iterations** (zero HBM traffic between iterations),
+* runs Minka's inverse-digamma fixed point with the positive-axis special
+  functions from ops/special.py (cheap polynomial/series forms, no generic
+  reflection paths),
+* early-exits **per block** via a `lax.while_loop` on the block's own
+  relative-change criterion — rows of near-empty clusters converge in a
+  couple of iterations and stop paying for the slow rows elsewhere.
+
+Same stationary equation as the reference's MM loop
+(reference: src/methods/zero_shot/em_dirichlet.py:157-177).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .special import digamma_pos, inv_digamma
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _solver_kernel(alpha_ref, y_ref, out_ref, *, n_valid, max_iters, tol,
+                   newton_iters):
+    alpha0 = alpha_ref[:]                                        # [1, BK, Kp]
+    y = y_ref[:]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, alpha0.shape, alpha0.ndim - 1
+    )
+    valid = lane < n_valid
+
+    def one_iter(alpha):
+        s = jnp.sum(jnp.where(valid, alpha, 0.0), axis=-1, keepdims=True)
+        z = digamma_pos(s) + y
+        new = inv_digamma(z, newton_iters=newton_iters)
+        return jnp.where(valid, new, 0.0)
+
+    def body(carry):
+        alpha, it, _ = carry
+        new = one_iter(alpha)
+        num = jnp.sum((new - alpha) * (new - alpha))
+        den = jnp.maximum(jnp.sum(alpha * alpha), 1e-30)
+        return new, it + 1, num / den
+
+    def cond(carry):
+        _, it, crit = carry
+        return jnp.logical_and(it < max_iters, crit >= tol)
+
+    init = (
+        jnp.where(valid, alpha0, 0.0),
+        jnp.zeros((), jnp.int32),
+        jnp.full((), jnp.inf, jnp.float32),
+    )
+    alpha, _, _ = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = alpha
+
+
+@partial(jax.jit, static_argnames=("max_iters", "tol", "newton_iters",
+                                   "block_rows", "interpret"))
+def pallas_dirichlet_solve(alpha0, y_cst, max_iters: int = 60,
+                           tol: float = 1e-11, newton_iters: int = 3,
+                           block_rows: int = 128, interpret: bool = False):
+    """Solve psi(a_d) - psi(sum a) = y_d for each cluster row.
+
+    alpha0, y_cst: [N, R, K] (R cluster rows, K feature dims). Returns alpha
+    of the same shape. Rows are independent given their own row-sum, so the
+    grid is (N, R/block_rows) and each block iterates locally in VMEM.
+    """
+    n_task, n_rows, k = alpha0.shape
+    kp = _round_up(k, 128)
+    bk = min(block_rows, _round_up(n_rows, 8))
+    rp = _round_up(n_rows, bk)
+
+    # pad: feature axis masked inside the kernel; padded rows get y = -10
+    # (a benign, fast-converging right-hand side)
+    alpha_p = jnp.pad(alpha0, ((0, 0), (0, rp - n_rows), (0, kp - k)),
+                      constant_values=1.0)
+    y_p = jnp.pad(y_cst, ((0, 0), (0, rp - n_rows), (0, kp - k)),
+                  constant_values=-10.0)
+
+    kernel = partial(
+        _solver_kernel, n_valid=k, max_iters=max_iters, tol=tol,
+        newton_iters=newton_iters,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_task, rp, kp), jnp.float32),
+        grid=(n_task, rp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(alpha_p, y_p)
+    return out[:, :n_rows, :k]
