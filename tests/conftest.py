@@ -33,6 +33,13 @@ if _needs_reexec():
     env["_TCLIP_TESTS_REEXECED"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
+import jax
+
+# persistent compilation cache: the suite is compile-bound on the single-core
+# CPU backend; repeated runs hit the cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/tclip_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,91 @@
+"""Golden-task tests for the few-shot methods: separable synthetic tasks
+must be solved with high accuracy by every method."""
+
+import numpy as np
+import pytest
+
+from transductive_clip_tpu.core.config import CfgNode
+from transductive_clip_tpu.methods import get_few_shot_method, FEW_SHOT_METHODS
+
+
+def make_few_shot_tasks(rng, n_task=3, n_class=8, shots=2, n_query=30,
+                        concentration=60.0):
+    """Support covers every class (`shots` each, protocol semantics);
+    queries concentrated on a few classes."""
+    xs = np.zeros((n_task, n_class * shots, n_class), np.float32)
+    ys = np.zeros((n_task, n_class * shots), np.int64)
+    xq = np.zeros((n_task, n_query, n_class), np.float32)
+    yq = np.zeros((n_task, n_query), np.int64)
+    for t in range(n_task):
+        ys[t] = np.repeat(np.arange(n_class), shots)
+        for i, c in enumerate(ys[t]):
+            a = np.ones(n_class)
+            a[c] += concentration
+            xs[t, i] = rng.dirichlet(a)
+        classes = rng.choice(n_class, size=4, replace=False)
+        yq[t] = rng.choice(classes, size=n_query)
+        for i, c in enumerate(yq[t]):
+            a = np.ones(n_class)
+            a[c] += concentration
+            xq[t, i] = rng.dirichlet(a)
+    return xs, ys, xq, yq
+
+
+def make_cfg(n_class=8, **over):
+    cfg = CfgNode(
+        dict(
+            num_classes_test=n_class, n_class=n_class, n_query=30, k_eff=4,
+            iter=15, iter_mm=300, T=30, use_softmax_feature=True, shots=2,
+            batch_size=3, seed=0,
+            # method hyperparameters
+            lambd=5.0, temp=30.0, norm_type="L2N", knn=3, lmd=0.7,
+            loss_weights=[1.0, 1.0, 1.0], entropies=["Shannon", "Alpha", "Alpha"],
+            alpha_value=2.0, lr_alpha_tim=1e-3, lr_tim=1e-3,
+        )
+    )
+    cfg.update(over)
+    return cfg
+
+
+@pytest.mark.parametrize(
+    "name,min_acc,over",
+    [
+        ("EM_DIRICHLET", 0.9, {}),
+        ("HARD_EM_DIRICHLET", 0.9, {"iter": 10}),
+        ("PADDLE", 0.9, {}),
+        ("BDCSPN", 0.9, {}),
+        ("LAPLACIAN_SHOT", 0.9, {"iter": 20}),
+        ("ALPHA_TIM", 0.8, {"iter": 150}),
+        ("TIM-GD", 0.8, {"iter": 150}),
+    ],
+)
+def test_few_shot_golden(rng, name, min_acc, over):
+    xs, ys, xq, yq = make_few_shot_tasks(rng)
+    cfg = make_cfg(**over)
+    method = get_few_shot_method(name, args=cfg)
+    logs = method.run_task(
+        {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=2
+    )
+    acc = logs["acc"][:, -1].mean()
+    assert acc >= min_acc, f"{name}: {acc}"
+    assert logs["preds"].shape == yq.shape
+    assert np.isfinite(np.asarray(logs["criterions"], np.float64)).all()
+
+
+def test_registry_complete():
+    assert set(FEW_SHOT_METHODS) == {
+        "EM_DIRICHLET", "HARD_EM_DIRICHLET", "PADDLE", "BDCSPN",
+        "LAPLACIAN_SHOT", "ALPHA_TIM", "TIM-GD",
+    }
+
+
+def test_laplacian_shot_freeze_trace(rng):
+    """Once a task converges its accuracy trace must stay constant."""
+    xs, ys, xq, yq = make_few_shot_tasks(rng, concentration=100.0)
+    cfg = make_cfg(iter=20)
+    method = get_few_shot_method("LAPLACIAN_SHOT", args=cfg)
+    logs = method.run_task({"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=2)
+    acc = logs["acc"]
+    assert acc.shape == (3, 20)
+    # last iterations should be frozen at the converged value
+    np.testing.assert_array_equal(acc[:, -1], acc[:, -2])

@@ -1,0 +1,83 @@
+import os
+
+import numpy as np
+import pytest
+
+from transductive_clip_tpu.core.config import load_full_config
+from transductive_clip_tpu.core.profiling import PhaseTimer, trace_if_requested
+from transductive_clip_tpu.eval import EvaluatorZeroShot
+from transductive_clip_tpu.features.cache import save_feature_cache
+from transductive_clip_tpu.features.store import open_store
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_ROOT = os.path.join(REPO, "config")
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a:" in t.summary() and "b:" in t.summary()
+
+
+def test_trace_if_requested_noop():
+    with trace_if_requested(None):
+        x = 1
+    assert x == 1
+
+
+@pytest.mark.parametrize("kind", ["plk", "npz", "orbax"])
+def test_feature_stores_roundtrip(tmp_path, kind, rng):
+    store = open_store(kind)
+    feats = rng.normal(size=(10, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 10)
+    path = str(tmp_path / f"feats{store.suffix}")
+    store.save(path, feats, labels)
+    f2, l2 = store.load(path)
+    np.testing.assert_allclose(f2, feats, rtol=1e-6)
+    np.testing.assert_array_equal(l2, labels)
+
+
+@pytest.mark.slow  # method-level dp-vs-single parity is covered in test_parallel
+def test_data_parallel_evaluation_matches_single_device(tmp_path, monkeypatch, rng):
+    """Evaluator with data_parallel=True on the 8-device CPU mesh must give
+    the same accuracies as single-device execution."""
+    monkeypatch.chdir(tmp_path)
+    feats, labels = [], []
+    for c in range(10):
+        a = np.ones(10)
+        a[c] += 60
+        feats.append(rng.dirichlet(a, size=40).astype(np.float32))
+        labels.append(np.full(40, c, np.int64))
+    feats, labels = np.concatenate(feats), np.concatenate(labels)
+
+    accs = {}
+    for dp in (False, True):
+        cfg = load_full_config(
+            opts=["dataset", "eurosat", "method", "hard_em_dirichlet",
+                  "shots", "0", "number_tasks", "8", "batch_size", "8",
+                  "n_query", "30", "seed", "3", "iter", "5",
+                  "iter_mm", "100", "save_results", "False"],
+            config_root=CONFIG_ROOT,
+        )
+        cfg.data_parallel = dp
+        ev = EvaluatorZeroShot(args=cfg)
+        accs[dp], _ = ev.evaluate_tasks(feats, labels)
+    assert accs[True] == pytest.approx(accs[False], abs=1e-6)
+    assert accs[True] > 0.9
+
+
+@pytest.mark.slow  # the profiler takes minutes on this tunneled platform
+def test_profile_dir_writes_trace(tmp_path, monkeypatch, rng):
+    import jax
+    import jax.numpy as jnp
+
+    prof = tmp_path / "prof"
+    with trace_if_requested(str(prof)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    assert any(prof.rglob("*")), "profiler produced no files"

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..core.logger import Logger
 from ..core.metrics import compute_confidence_interval
+from ..core.profiling import PhaseTimer, trace_if_requested
 from ..features.cache import (
     load_feature_cache,
     softmax_cache_path,
@@ -27,6 +28,8 @@ from ..tasks import (
     SamplerSupportFewShot,
     TasksGeneratorFewShot,
 )
+
+from .zero_shot import _maybe_task_mesh
 
 # method -> the hyperparameter tuned on the validation set
 VAL_PARAM = {
@@ -142,6 +145,8 @@ class EvaluatorFewShot:
         method = get_few_shot_method(
             args.name_method, args=args, log_file=self.log_file
         )
+        timer = PhaseTimer()
+        mesh = _maybe_task_mesh(args, self.logger)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
@@ -166,12 +171,19 @@ class EvaluatorFewShot:
             ).generate_tasks()
             if text_features is not None:
                 tasks["text_features"] = text_features
+            if mesh is not None:
+                from ..parallel import shard_task_batch
 
-            logs = method.run_task(tasks, shot=args.shots)
+                tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
+                tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+
+            with timer.phase("method"):
+                logs = method.run_task(tasks, shot=args.shots)
             acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
             results_task.append(acc_mean)
             results_time.append(logs["timestamps"])
 
+        self._log("phase timing -- " + timer.summary())
         return float(np.mean(results_task)), float(np.mean(results_time))
 
     # ------------------------------------------------------------------

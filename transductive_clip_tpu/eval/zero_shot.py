@@ -14,6 +14,7 @@ import numpy as np
 
 from ..core.logger import Logger
 from ..core.metrics import compute_confidence_interval
+from ..core.profiling import PhaseTimer, trace_if_requested
 from ..features.cache import (
     load_feature_cache,
     softmax_cache_path,
@@ -25,6 +26,29 @@ from ..tasks import (
     SamplerQueryZeroShot,
     TasksGeneratorZeroShot,
 )
+
+
+
+def _maybe_task_mesh(args, logger=None):
+    """Data-parallel mesh over all local devices when data_parallel=True
+    and the task batch divides the device count."""
+    if not bool(args.get("data_parallel", False)):
+        return None
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return None
+    if args.batch_size % n_dev != 0:
+        if logger:
+            logger.info(
+                f"data_parallel requested but batch_size={args.batch_size} "
+                f"is not divisible by {n_dev} devices; running single-device"
+            )
+        return None
+    from ..parallel import make_mesh
+
+    return make_mesh(tp=1)
 
 
 class EvaluatorZeroShot:
@@ -82,31 +106,40 @@ class EvaluatorZeroShot:
         method = get_zero_shot_method(
             args.name_method, args=args, log_file=self.log_file
         )
+        timer = PhaseTimer()
+        mesh = _maybe_task_mesh(args, self.logger)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
-        for _ in range(n_batches):
-            sampler = CategoriesSamplerZeroShot(
-                args.batch_size, args.k_eff, args.n_class, args.n_query,
-                force_query_size=True, rng=rng,
-            )
-            sampler.create_list_classes(labels)
-            loader = [
-                (features[idx], labels[idx])
-                for idx in SamplerQueryZeroShot(sampler)
-            ]
-            tasks = TasksGeneratorZeroShot(
-                k_eff=args.k_eff, n_query=args.n_query, n_class=args.n_class,
-                loader_query=loader, args=args,
-            ).generate_tasks()
-            if text_features is not None:
-                tasks["text_features"] = text_features
+        with trace_if_requested(args.get("profile_dir")):
+            for _ in range(n_batches):
+                with timer.phase("sampling"):
+                    sampler = CategoriesSamplerZeroShot(
+                        args.batch_size, args.k_eff, args.n_class, args.n_query,
+                        force_query_size=True, rng=rng,
+                    )
+                    sampler.create_list_classes(labels)
+                    loader = [
+                        (features[idx], labels[idx])
+                        for idx in SamplerQueryZeroShot(sampler)
+                    ]
+                    tasks = TasksGeneratorZeroShot(
+                        k_eff=args.k_eff, n_query=args.n_query,
+                        n_class=args.n_class, loader_query=loader, args=args,
+                    ).generate_tasks()
+                if text_features is not None:
+                    tasks["text_features"] = text_features
+                if mesh is not None:
+                    from ..parallel import shard_task_batch
 
-            logs = method.run_task(tasks)
-            acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
-            results_task.append(acc_mean)
-            results_time.append(logs["timestamps"])
+                    tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+                with timer.phase("method"):
+                    logs = method.run_task(tasks)
+                acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
+                results_task.append(acc_mean)
+                results_time.append(logs["timestamps"])
 
+        self._log("phase timing -- " + timer.summary())
         return float(np.mean(results_task)), float(np.mean(results_time))
 
     # ------------------------------------------------------------------

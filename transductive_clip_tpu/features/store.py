@@ -1,0 +1,91 @@
+"""Feature store backends.
+
+The default cache is reference-compatible pickle (features/cache.py). Two
+TPU-native alternatives:
+
+* ``npz`` — compressed numpy archives, no pickle execution risk, portable.
+* ``orbax`` — Orbax PyTree checkpoints: sharded, async-writable arrays,
+  the idiomatic JAX checkpoint format (the "checkpoint/resume" subsystem the
+  reference implements with pickles; reference: src/utils.py:299-306).
+
+``open_store(kind)`` returns an object with save(path, features, labels) /
+load(path) -> (features, labels); the evaluators pick the backend from the
+``feature_store`` config key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class PickleStore:
+    suffix = ".plk"
+
+    def save(self, path, features, labels):
+        from .cache import save_feature_cache
+
+        save_feature_cache(path, features, labels)
+
+    def load(self, path):
+        from .cache import load_feature_cache
+
+        return load_feature_cache(path)
+
+
+class NpzStore:
+    suffix = ".npz"
+
+    def save(self, path, features, labels):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(
+            path,
+            concat_features=np.asarray(features, np.float32),
+            concat_labels=np.asarray(labels, np.int64),
+        )
+
+    def load(self, path):
+        with np.load(path) as z:
+            return (
+                z["concat_features"].astype(np.float32),
+                z["concat_labels"].astype(np.int64),
+            )
+
+
+class OrbaxStore:
+    suffix = ".orbax"
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer()
+
+    def save(self, path, features, labels):
+        ckpt = self._checkpointer()
+        ckpt.save(
+            os.path.abspath(path),
+            {
+                "concat_features": np.asarray(features, np.float32),
+                "concat_labels": np.asarray(labels, np.int64),
+            },
+            force=True,
+        )
+
+    def load(self, path):
+        ckpt = self._checkpointer()
+        tree = ckpt.restore(os.path.abspath(path))
+        return (
+            np.asarray(tree["concat_features"], np.float32),
+            np.asarray(tree["concat_labels"], np.int64),
+        )
+
+
+_STORES = {"plk": PickleStore, "pickle": PickleStore, "npz": NpzStore,
+           "orbax": OrbaxStore}
+
+
+def open_store(kind: str = "plk"):
+    if kind not in _STORES:
+        raise ValueError(f"Unknown feature store {kind!r}; choose from {sorted(_STORES)}")
+    return _STORES[kind]()
