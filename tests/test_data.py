@@ -98,3 +98,17 @@ def test_iter_image_batches(tmp_path):
     assert images.shape == (2, 32, 32, 3)
     assert images.dtype == np.float32
     np.testing.assert_array_equal(labels, [0, 1])
+
+
+def test_generate_fewshot_subset(rng):
+    from transductive_clip_tpu.data.base import Datum, generate_fewshot_subset
+
+    data = [Datum(impath=f"{c}_{i}.jpg", label=c, classname=str(c))
+            for c in range(3) for i in range(5)]
+    sub = generate_fewshot_subset(data, num_shots=2, rng=rng)
+    assert len(sub) == 6
+    labels = sorted(d.label for d in sub)
+    assert labels == [0, 0, 1, 1, 2, 2]
+    # num_shots larger than class size repeats
+    sub = generate_fewshot_subset(data[:5], num_shots=8, rng=rng)
+    assert len(sub) == 8

@@ -109,3 +109,24 @@ def test_missing_model_raises(image_dataset):
     )
     with pytest.raises(ValueError, match="CLIP model"):
         ensure_features(cfg, None, None, splits=("test",))
+
+
+def test_multi_temperature_extraction(image_dataset):
+    from transductive_clip_tpu.models.clip.preprocess import make_preprocess
+
+    cfg = CfgNode(
+        dict(dataset="eurosat", dataset_path=image_dataset, backbone="RN50",
+             T=30, use_softmax_feature=True, root="data",
+             extract_batch_size=6)
+    )
+    ensure_features(cfg, StubModel(), make_preprocess(16), splits=("test",),
+                    list_T=[10, 30, 50])
+    for T in (10, 30, 50):
+        feats, labels = load_feature_cache(
+            f"data/eurosat/saved_features/test_softmax_RN50_T{T}.plk"
+        )
+        assert feats.shape == (12, 3)
+    # sharper temperature -> more peaked distributions
+    f10, _ = load_feature_cache("data/eurosat/saved_features/test_softmax_RN50_T10.plk")
+    f50, _ = load_feature_cache("data/eurosat/saved_features/test_softmax_RN50_T50.plk")
+    assert f50.max(-1).mean() > f10.max(-1).mean()

@@ -60,17 +60,27 @@ def get_text_features(args, model, classnames=None, template=None):
     return text_features
 
 
-def ensure_features(args, model, preprocess=None, splits=("test",)):
-    """Extract and cache features for each split whose cache is missing."""
+def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None):
+    """Extract and cache features for each split whose cache is missing.
+
+    ``list_T`` extracts softmax features for several temperatures in one
+    pass over the images (the reference supports list_T=[10,20,30,40,50];
+    reference: src/utils.py:251-264). Defaults to [args.T].
+    """
     root = getattr(args, "root", "data")
+    if list_T is None:
+        list_T = [args.T]
     missing = []
     for split in splits:
         if args.use_softmax_feature:
-            path = softmax_cache_path(args.dataset, split, args.backbone, args.T, root=root)
+            for T in list_T:
+                path = softmax_cache_path(args.dataset, split, args.backbone, T, root=root)
+                if not os.path.exists(path):
+                    missing.append((split, T, path))
         else:
             path = visual_cache_path(args.dataset, split, args.backbone, root=root)
-        if not os.path.exists(path):
-            missing.append((split, path))
+            if not os.path.exists(path):
+                missing.append((split, None, path))
     if not missing:
         return
 
@@ -89,20 +99,29 @@ def ensure_features(args, model, preprocess=None, splits=("test",)):
         "val": dataset.val,
         "test": dataset.test,
     }
-    for split, path in missing:
-        feats, labels = [], []
+    # one image pass per split, all temperatures computed from the same
+    # normalized embeddings
+    by_split = {}
+    for split, T, path in missing:
+        by_split.setdefault(split, []).append((T, path))
+    for split, targets in by_split.items():
+        feats = {path: [] for _, path in targets}
+        labels = []
         for images, batch_labels in iter_image_batches(
             split_sources[split], preprocess=preprocess,
             batch_size=getattr(args, "extract_batch_size", 256),
         ):
             image_features = np.array(model.encode_image_batch(images), np.float32)
             image_features /= np.linalg.norm(image_features, axis=-1, keepdims=True)
-            if args.use_softmax_feature:
-                logits = args.T * image_features @ text_features.T
-                logits -= logits.max(axis=-1, keepdims=True)
-                e = np.exp(logits)
-                feats.append(e / e.sum(axis=-1, keepdims=True))
-            else:
-                feats.append(image_features)
+            for T, path in targets:
+                if T is None:
+                    feats[path].append(image_features)
+                else:
+                    logits = T * image_features @ text_features.T
+                    logits -= logits.max(axis=-1, keepdims=True)
+                    e = np.exp(logits)
+                    feats[path].append(e / e.sum(axis=-1, keepdims=True))
             labels.append(np.asarray(batch_labels))
-        save_feature_cache(path, np.concatenate(feats), np.concatenate(labels))
+        all_labels = np.concatenate(labels)
+        for _, path in targets:
+            save_feature_cache(path, np.concatenate(feats[path]), all_labels)
