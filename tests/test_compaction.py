@@ -43,3 +43,21 @@ def test_compact_hard_variant(rng):
     np.testing.assert_array_equal(
         np.asarray(u_full).argmax(-1), np.asarray(u_comp).argmax(-1)
     )
+
+
+def test_early_stop_matches_full_run(rng):
+    import jax.numpy as jnp
+    x, y = make_simplex_tasks(
+        rng, n_task=3, n_query=20, n_class=30, k_eff=5, concentration=80.0
+    )
+    lambd = float(int(30 / 5) * 20)
+    kw = dict(n_iter=20, iter_mm=300, hard=False, solver="minka", compact=False)
+    u_full, c_full = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                        early_stop=False, **kw)
+    u_es, c_es = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                    early_stop=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(u_full).argmax(-1), np.asarray(u_es).argmax(-1)
+    )
+    # criterion trace keeps its length and is padded with the final value
+    assert np.asarray(c_es).shape == (20,)
