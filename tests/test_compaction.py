@@ -61,3 +61,36 @@ def test_early_stop_matches_full_run(rng):
     )
     # criterion trace keeps its length and is padded with the final value
     assert np.asarray(c_es).shape == (20,)
+
+
+def test_few_shot_compact_matches_full(rng):
+    import jax.numpy as jnp
+    from transductive_clip_tpu.methods.few_shot.em_dirichlet import (
+        em_dirichlet_fs_infer,
+    )
+
+    n_task, K, shots, n = 2, 120, 1, 20
+    ys = np.tile(np.repeat(np.arange(K), shots), (n_task, 1))
+    def feats(labels):
+        out = np.zeros((*labels.shape, K), np.float32)
+        for t in range(labels.shape[0]):
+            for i, c in enumerate(labels[t]):
+                a = np.ones(K); a[c] += 80
+                out[t, i] = rng.dirichlet(a)
+        return out
+    xs = feats(ys)
+    yq = rng.integers(0, 5, (n_task, n))
+    xq = feats(yq)
+    lambd = float(int(K / 5) * n)
+    kw = dict(n_iter=6, iter_mm=200, n_class=K, hard=False, solver="minka",
+              early_stop=False)
+    u_full, _ = em_dirichlet_fs_infer(
+        jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys), jnp.float32(lambd),
+        compact=False, **kw)
+    u_comp, _ = em_dirichlet_fs_infer(
+        jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys), jnp.float32(lambd),
+        compact=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(u_full).argmax(-1), np.asarray(u_comp).argmax(-1)
+    )
+    np.testing.assert_allclose(np.asarray(u_full), np.asarray(u_comp), atol=2e-3)

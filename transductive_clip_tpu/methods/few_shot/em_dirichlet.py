@@ -5,6 +5,17 @@ contribute fixed statistics to the alpha update and accuracy is a direct
 argmax (reference: src/methods/few_shot/em_dirichlet.py and
 hard_em_dirichlet.py). lambda = int(K / k_eff) * n_query
 (reference: few_shot/em_dirichlet.py:14).
+
+TPU optimizations (results preserved; see tests/test_compaction.py):
+
+* cluster compaction — from the second EM iteration on, the query soft
+  assignments underflow to exact zeros outside ~n_query classes, so y_cst
+  of every other class row is *constant* (pure support statistics) and its
+  alpha is already the fixed point from iteration 1. Only the top-C rows by
+  query mass are re-solved each iteration (C = n_query + margin). At the
+  Table-2 ImageNet protocol this removes ~92% of the per-iteration solver
+  work.
+* outer-loop early stopping on the batch-mean relative alpha change.
 """
 
 from __future__ import annotations
@@ -16,14 +27,18 @@ import jax.numpy as jnp
 
 from ...ops.common import EPS, get_one_hot
 from ...ops.dirichlet import dirichlet_log_pdf, update_alpha
-from ..base import FewShotMethod
 from ...ops.precision import f32_einsum
+from ..base import FewShotMethod
+
+_COMPACT_MARGIN = 16
 
 
-@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard", "solver"))
+@partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard",
+                                   "solver", "early_stop", "compact"))
 def em_dirichlet_fs_infer(support, query, y_s, lambd,
                           n_iter: int, iter_mm: int, n_class: int, hard: bool,
-                          solver: str = "mm"):
+                          solver: str = "mm", early_stop: bool = True,
+                          early_stop_tol: float = 1e-6, compact: bool = True):
     """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s]."""
     n_task, n_query, _ = query.shape
     log_s = jnp.log(support + EPS)
@@ -37,22 +52,71 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
     v0 = jnp.zeros((n_task, n_class), jnp.float32)
     alpha0 = jnp.ones((n_task, n_class, n_class), jnp.float32)
 
-    def step(carry, _):
-        u, v, alpha_old = carry
-        u_sum = jnp.sum(u, axis=1)
-        query_stat = f32_einsum("tnk,tnd->tkd", u, log_q)
-        y_cst = (supp_stat + query_stat) / (y_s_sum + u_sum)[..., None]
-        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
+    n_compact = min(n_class, n_query + _COMPACT_MARGIN)
+    use_compact = compact and n_class > 2 * n_compact
+
+    def finish_step(u, alpha):
         v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
         logits = dirichlet_log_pdf(log_q, alpha)
         u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
         if hard:
             u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
+        return u, v
+
+    def step_full(u, alpha_old):
+        u_sum = jnp.sum(u, axis=1)
+        query_stat = f32_einsum("tnk,tnd->tkd", u, log_q)
+        y_cst = (supp_stat + query_stat) / (y_s_sum + u_sum)[..., None]
+        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
+        u, v = finish_step(u, alpha)
+        return u, v, alpha
+
+    def step_compact(u, alpha_old):
+        u_sum = jnp.sum(u, axis=1)                                # [N, K]
+        mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
+        u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)
+        query_stat_c = f32_einsum("tnc,tnd->tcd", u_c, log_q)
+        supp_c = jnp.take_along_axis(supp_stat, idx[..., None], axis=1)
+        y_s_sum_c = jnp.take_along_axis(y_s_sum, idx, axis=1)
+        y_c = (supp_c + query_stat_c) / (y_s_sum_c + mass)[..., None]
+        alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
+        alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
+        alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
+        u, v = finish_step(u, alpha)
+        return u, v, alpha
+
+    def crit_fn(alpha_old, alpha):
         diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
         denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
-        return (u, v, alpha), jnp.mean(diff / denom)
+        return jnp.mean(diff / denom)
 
-    (u, _, _), criterions = jax.lax.scan(step, (u0, v0, alpha0), None, length=n_iter)
+    # iteration 1 always solves all K rows
+    u, v, alpha = step_full(u0, alpha0)
+    first_crit = crit_fn(alpha0, alpha)
+    crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
+
+    def body(carry):
+        u, v, alpha_old, it, crits = carry
+        if use_compact:
+            u, v, alpha = step_compact(u, alpha_old)
+        else:
+            u, v, alpha = step_full(u, alpha_old)
+        crit = crit_fn(alpha_old, alpha)
+        crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
+        return u, v, alpha, it + 1, crits
+
+    def cond(carry):
+        _, _, _, it, crits = carry
+        not_done = it < n_iter
+        if not early_stop:
+            return not_done
+        return jnp.logical_and(
+            not_done, crits[jnp.maximum(it - 1, 0)] >= early_stop_tol
+        )
+
+    u, _, _, _, criterions = jax.lax.while_loop(
+        cond, body, (u, v, alpha, jnp.array(1, jnp.int32), crits0)
+    )
     return u, criterions
 
 
@@ -73,6 +137,8 @@ class EM_DIRICHLET(FewShotMethod):
 
             solver = "pallas" if jax.default_backend() == "tpu" else "minka"
         self.solver = solver
+        self.early_stop = bool(args.get("early_stop", True))
+        self.compact = bool(args.get("compact_clusters", True))
 
     def _infer(self, task):
         if not self.args.use_softmax_feature:
@@ -94,4 +160,6 @@ class EM_DIRICHLET(FewShotMethod):
             n_class=int(self.args.num_classes_test),
             hard=self.hard,
             solver=self.solver,
+            early_stop=self.early_stop,
+            compact=self.compact,
         )
