@@ -150,38 +150,39 @@ class EvaluatorFewShot:
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
-        for _ in range(n_batches):
-            sampler = CategoriesSamplerFewShot(
-                args.batch_size, args.k_eff, args.n_class, args.shots,
-                args.n_query, force_query_size=True, rng=rng,
-            )
-            sampler.create_list_classes(support_labels, query_labels)
-            loader_query = [
-                (query_features[idx], query_labels[idx])
-                for idx in SamplerQueryFewShot(sampler)
-            ]
-            loader_support = [
-                (support_features[idx], support_labels[idx])
-                for idx in SamplerSupportFewShot(sampler)
-            ]
-            tasks = TasksGeneratorFewShot(
-                k_eff=args.k_eff, shot=args.shots, n_query=args.n_query,
-                n_class=args.n_class, loader_support=loader_support,
-                loader_query=loader_query, args=args,
-            ).generate_tasks()
-            if text_features is not None:
-                tasks["text_features"] = text_features
-            if mesh is not None:
-                from ..parallel import shard_task_batch
+        with trace_if_requested(args.get("profile_dir")):
+            for _ in range(n_batches):
+                sampler = CategoriesSamplerFewShot(
+                    args.batch_size, args.k_eff, args.n_class, args.shots,
+                    args.n_query, force_query_size=True, rng=rng,
+                )
+                sampler.create_list_classes(support_labels, query_labels)
+                loader_query = [
+                    (query_features[idx], query_labels[idx])
+                    for idx in SamplerQueryFewShot(sampler)
+                ]
+                loader_support = [
+                    (support_features[idx], support_labels[idx])
+                    for idx in SamplerSupportFewShot(sampler)
+                ]
+                tasks = TasksGeneratorFewShot(
+                    k_eff=args.k_eff, shot=args.shots, n_query=args.n_query,
+                    n_class=args.n_class, loader_support=loader_support,
+                    loader_query=loader_query, args=args,
+                ).generate_tasks()
+                if text_features is not None:
+                    tasks["text_features"] = text_features
+                if mesh is not None:
+                    from ..parallel import shard_task_batch
 
-                tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
-                tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+                    tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
+                    tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
 
-            with timer.phase("method"):
-                logs = method.run_task(tasks, shot=args.shots)
-            acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
-            results_task.append(acc_mean)
-            results_time.append(logs["timestamps"])
+                with timer.phase("method"):
+                    logs = method.run_task(tasks, shot=args.shots)
+                acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
+                results_task.append(acc_mean)
+                results_time.append(logs["timestamps"])
 
         self._log("phase timing -- " + timer.summary())
         return float(np.mean(results_task)), float(np.mean(results_time))

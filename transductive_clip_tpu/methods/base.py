@@ -12,14 +12,13 @@ and run the (tiny, once-per-batch) cluster->class matching on the host.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.logger import Logger
-from ..ops.common import EPS, device_sync, get_one_hot
+from ..ops.common import EPS, device_sync
 from ..ops.matching import basic_matching, cluster_prototypes, hungarian_matching
 from ..ops.precision import f32_einsum
 

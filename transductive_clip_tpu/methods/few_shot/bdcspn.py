@@ -12,7 +12,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ...ops.common import get_one_hot
 from ...ops.distances import sq_euclidean
 from ..base import FewShotMethod
 from .paddle import support_class_means

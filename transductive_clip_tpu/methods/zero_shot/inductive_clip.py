@@ -6,7 +6,6 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..base import TransductiveMethod, init_soft_assignments
 

@@ -10,7 +10,6 @@ benchmarks, shape checks).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import flax.linen as nn

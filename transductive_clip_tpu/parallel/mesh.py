@@ -15,8 +15,6 @@ counterpart (CLIP runs at fixed short lengths).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh
