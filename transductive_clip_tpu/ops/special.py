@@ -70,6 +70,35 @@ def lgamma_pos(x):
     return series - shift
 
 
+def digamma_and_trigamma_pos(x):
+    """(digamma(x), trigamma(x)) for x > 0, sharing the recurrence
+    reciprocals 1/(x+i) between the two series — the Newton step of
+    ``inv_digamma`` needs both, and the six shift divides dominate its
+    cost on the VPU."""
+    acc0 = jnp.zeros_like(x)
+    acc1 = jnp.zeros_like(x)
+    for _ in range(6):
+        inv = 1.0 / x
+        acc0 = acc0 - inv
+        acc1 = acc1 + inv * inv
+        x = x + 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    logx = jnp.log(x)
+    dg = (
+        logx
+        - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+        + acc0
+    )
+    tg = (
+        inv + 0.5 * inv2
+        + inv * inv2 * (1.0 / 6.0 - inv2 * (1.0 / 30.0 - inv2 / 42.0))
+        + acc1
+    )
+    return dg, tg
+
+
 def inv_digamma(y, newton_iters: int = 3):
     """Inverse digamma on the positive axis: x with psi(x) = y.
 
@@ -82,6 +111,7 @@ def inv_digamma(y, newton_iters: int = 3):
         -1.0 / (y + EULER_GAMMA),
     )
     for _ in range(newton_iters):
-        x = x - (digamma_pos(x) - y) / trigamma_pos(x)
+        dg, tg = digamma_and_trigamma_pos(x)
+        x = x - (dg - y) / tg
         x = jnp.maximum(x, 1e-10)
     return x
