@@ -57,14 +57,36 @@ class JaxCLIP:
     def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.params = params
+        # bf16 compute: params + activations cast to bf16 (MXU-native),
+        # attention softmaxes stay fp32 (layers.py), outputs upcast to fp32.
+        # CLIP inference is robust to bf16; pass compute_dtype=float32 to
+        # disable.
         self.compute_dtype = compute_dtype
         self.module = CLIPModule(cfg)
-        self._encode_image = jax.jit(
-            lambda p, x: self.module.apply(p, x, method=CLIPModule.encode_image)
-        )
-        self._encode_text = jax.jit(
-            lambda p, t: self.module.apply(p, t, method=CLIPModule.encode_text)
-        )
+
+        def _cast(tree, dtype):
+            return jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        def enc_image(p, x):
+            out = self.module.apply(
+                _cast(p, compute_dtype), x.astype(compute_dtype),
+                method=CLIPModule.encode_image,
+            )
+            return out.astype(jnp.float32)
+
+        def enc_text(p, t):
+            out = self.module.apply(
+                _cast(p, compute_dtype), t, method=CLIPModule.encode_text
+            )
+            return out.astype(jnp.float32)
+
+        self._encode_image = jax.jit(enc_image)
+        self._encode_text = jax.jit(enc_text)
         self._tokenizer = None
 
     # -- image ---------------------------------------------------------
