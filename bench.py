@@ -28,9 +28,11 @@ N_ITER = 20
 ITER_MM = 1000
 
 
-def synth_tasks(rng, n_task, n_query, n_class, k_eff_range=(3, 10)):
+def synth_tasks(rng, n_task, n_query, n_class, k_eff_range=(3, 10),
+                return_labels=False):
     """ImageNet-scale synthetic softmax features (class-peaked Dirichlet)."""
     x = np.empty((n_task, n_query, n_class), np.float32)
+    y = np.empty((n_task, n_query), np.int64)
     base = np.ones(n_class, np.float64)
     for t in range(n_task):
         k_eff = rng.integers(k_eff_range[0], k_eff_range[1] + 1)
@@ -40,6 +42,9 @@ def synth_tasks(rng, n_task, n_query, n_class, k_eff_range=(3, 10)):
             alpha = base.copy()
             alpha[c] += 60.0
             x[t, i] = rng.dirichlet(alpha)
+        y[t] = labels
+    if return_labels:
+        return x, y
     return x
 
 
@@ -52,7 +57,8 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(synth_tasks(rng, N_TASK, N_QUERY, N_CLASS))
+    x_np, y_np = synth_tasks(rng, N_TASK, N_QUERY, N_CLASS, return_labels=True)
+    x = jnp.asarray(x_np)
     lambd = jnp.float32(int(N_CLASS / 5) * N_QUERY)
 
     from transductive_clip_tpu.ops.common import device_sync
@@ -69,6 +75,19 @@ def main():
     )
     device_sync(u)
     elapsed = time.perf_counter() - t0
+
+    # correctness guard: the timed computation must actually cluster the
+    # separable synthetic tasks (catches perf-only regressions that break
+    # the math)
+    clusters = np.asarray(u).argmax(-1)
+    purities = []
+    for t in range(4):
+        for c in np.unique(y_np[t]):
+            members = clusters[t][y_np[t] == c]
+            counts = np.bincount(members)
+            purities.append(counts.max() / len(members))
+    assert np.mean(purities) > 0.95, f"clustering broke: purity {np.mean(purities)}"
+    assert np.isfinite(np.asarray(crit)).all(), "non-finite criterion trace"
 
     tasks_per_sec = N_TASK / elapsed
     vs_baseline = tasks_per_sec * REFERENCE_SECONDS_PER_TASK
