@@ -21,6 +21,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from transductive_clip_tpu.core.config import CfgNode
+from transductive_clip_tpu.utils.synthetic import (
+    make_few_shot_tasks,
+    make_zero_shot_tasks,
+)
 from transductive_clip_tpu.methods import (
     FEW_SHOT_METHODS,
     ZERO_SHOT_METHODS,
@@ -29,38 +33,6 @@ from transductive_clip_tpu.methods import (
 )
 
 
-def synth_zero_shot(rng, n_task, n_query, n_class, conc=60.0):
-    x = np.zeros((n_task, n_query, n_class), np.float32)
-    y = np.zeros((n_task, n_query), np.int64)
-    for t in range(n_task):
-        k_eff = rng.integers(3, 11)
-        classes = rng.choice(n_class, size=k_eff, replace=False)
-        labels = rng.choice(classes, size=n_query)
-        for i, c in enumerate(labels):
-            a = np.ones(n_class)
-            a[c] += conc
-            x[t, i] = rng.dirichlet(a)
-        y[t] = labels
-    return x, y
-
-
-def synth_few_shot(rng, n_task, n_query, n_class, shots, k_eff=5, conc=60.0):
-    ys = np.tile(np.repeat(np.arange(n_class), shots), (n_task, 1))
-    def feats(labels):
-        out = np.zeros((*labels.shape, n_class), np.float32)
-        for t in range(labels.shape[0]):
-            for i, c in enumerate(labels[t]):
-                a = np.ones(n_class)
-                a[c] += conc
-                out[t, i] = rng.dirichlet(a)
-        return out
-    xs = feats(ys)
-    yq = np.zeros((n_task, n_query), np.int64)
-    for t in range(n_task):
-        classes = rng.choice(n_class, size=k_eff, replace=False)
-        yq[t] = rng.choice(classes, size=n_query)
-    xq = feats(yq)
-    return xs, ys, xq, yq
 
 
 def base_cfg(n_class, n_query, batch_size, shots):
@@ -99,7 +71,7 @@ def main():
         accs, times = [], []
         n_batches = max(1, args.tasks // args.batch_size)
         for b in range(n_batches):
-            x, y = synth_zero_shot(rng, args.batch_size, args.n_query, args.n_class)
+            x, y = make_zero_shot_tasks(rng, args.batch_size, args.n_query, args.n_class)
             logs = method.run_task({"x_q": x, "y_q": y})
             if b > 0 or n_batches == 1:   # skip compile batch when possible
                 times.append(logs["timestamps"])
@@ -114,7 +86,7 @@ def main():
         if name in ("ALPHA_TIM", "TIM-GD"):
             cfg.iter = 1000
         method = get_few_shot_method(name, args=cfg)
-        xs, ys, xq, yq = synth_few_shot(
+        xs, ys, xq, yq = make_few_shot_tasks(
             rng, fs_batch, args.n_query, args.n_class, args.shots
         )
         logs = method.run_task(

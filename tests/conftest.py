@@ -51,19 +51,13 @@ def rng():
 
 def make_simplex_tasks(rng, n_task=4, n_query=40, n_class=8, k_eff=4,
                        concentration=60.0):
-    """Synthetic separable zero-shot tasks: softmax features drawn from
-    class-peaked Dirichlet distributions, labels in task-global class ids."""
-    x = np.zeros((n_task, n_query, n_class), np.float32)
-    y = np.zeros((n_task, n_query), np.int64)
-    for t in range(n_task):
-        classes = rng.choice(n_class, size=k_eff, replace=False)
-        labels = rng.choice(classes, size=n_query)
-        for i, c in enumerate(labels):
-            alpha = np.ones(n_class)
-            alpha[c] += concentration
-            x[t, i] = rng.dirichlet(alpha)
-        y[t] = labels
-    return x, y
+    """Synthetic separable zero-shot tasks (shared generator)."""
+    from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
+
+    return make_zero_shot_tasks(
+        rng, n_task, n_query, n_class, k_eff=k_eff,
+        concentration=concentration,
+    )
 
 
 @pytest.fixture

@@ -89,3 +89,23 @@ def test_laplacian_shot_freeze_trace(rng):
     assert acc.shape == (3, 20)
     # last iterations should be frozen at the converged value
     np.testing.assert_array_equal(acc[:, -1], acc[:, -2])
+
+
+def test_knn_affinity_is_actual_nearest_neighbors(rng):
+    """Regression: eye*inf NaN-poisoned the distance matrix so top_k returned
+    arbitrary columns instead of the true neighbors."""
+    import jax.numpy as jnp
+    from scipy.spatial.distance import cdist
+
+    from transductive_clip_tpu.methods.few_shot.laplacian_shot import knn_affinity
+
+    x = rng.normal(size=(2, 10, 6)).astype(np.float32)
+    W = np.asarray(knn_affinity(jnp.asarray(x), knn=3))
+    assert np.isfinite(W).all()
+    for t in range(2):
+        d = cdist(x[t], x[t])
+        np.fill_diagonal(d, np.inf)
+        for i in range(10):
+            want = set(np.argsort(d[i])[:2])
+            got = set(np.flatnonzero(W[t, i]))
+            assert got == want, (t, i, got, want)

@@ -140,6 +140,15 @@ class EvaluatorZeroShot:
                 results_time.append(logs["timestamps"])
 
         self._log("phase timing -- " + timer.summary())
+        # the first batch's time includes jit compilation; exclude it from
+        # the reported mean when there are later (steady-state) batches
+        if len(results_time) > 1:
+            results_time = results_time[1:]
+        else:
+            self._log(
+                "note: single-batch run — reported mean time includes "
+                "jit compilation"
+            )
         return float(np.mean(results_task)), float(np.mean(results_time))
 
     # ------------------------------------------------------------------

@@ -78,6 +78,27 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
     return acc.astype(np.float32), new_preds
 
 
+def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
+    """Post-hoc guard for cluster compaction: if more clusters carry mass in
+    the final assignments than the compacted solver re-solves, the
+    approximation may have engaged; advise the exact path."""
+    u_sum = np.asarray(u).sum(axis=1)
+    populated = int((u_sum > eps).sum(axis=-1).max())
+    if populated > n_compact:
+        msg = (
+            f"cluster compaction solved {n_compact} rows but {populated} "
+            "clusters carry mass; results may deviate from the exact path — "
+            "set compact_clusters False to verify"
+        )
+        if logger is not None:
+            logger.warning(msg)
+        else:
+            import warnings
+
+            warnings.warn(msg)
+    return populated
+
+
 def direct_accuracy(u, y_q):
     """Plain argmax accuracy (few-shot path; reference: few_shot/em_dirichlet.py:50-58)."""
     preds = np.asarray(u).argmax(axis=2)

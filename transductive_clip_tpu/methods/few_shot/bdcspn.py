@@ -12,14 +12,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ...ops.common import l2_normalize as _l2_normalize
 from ...ops.distances import sq_euclidean
 from ..base import FewShotMethod
 from .paddle import support_class_means
 from ...ops.precision import f32_einsum
-
-
-def _l2_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 def _cosine_logits(w, samples):

@@ -18,15 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.common import device_sync
+from ...ops.common import device_sync, l2_normalize as _l2_normalize
 from ...ops.distances import sq_euclidean
 from ..base import FewShotMethod
 from .paddle import support_class_means
 from ...ops.precision import f32_einsum
-
-
-def _l2_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 def knn_affinity(query, knn: int):
@@ -35,7 +31,9 @@ def knn_affinity(query, knn: int):
     builds the same graph with sklearn + scipy.sparse)."""
     n = query.shape[-2]
     d2 = sq_euclidean(query, query)
-    d2 = d2 + jnp.eye(n, dtype=d2.dtype) * jnp.inf
+    # exclude self: a masked where, NOT eye * inf (0 * inf = NaN would poison
+    # every off-diagonal distance)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
     _, idx = jax.lax.top_k(-d2, knn - 1)                          # [..., n, knn-1]
     w = jax.nn.one_hot(idx, n, dtype=jnp.float32).sum(axis=-2)    # [..., n, n]
     return w

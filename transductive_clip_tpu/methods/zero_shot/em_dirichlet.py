@@ -17,8 +17,11 @@ and hard_em_dirichlet.py:124-271) re-designed for TPU:
   clusters by mass (C = n_query + margin); the remaining rows keep their
   previous alpha exactly as the reference does for empty clusters
   (reference: em_dirichlet.py:224-226). At ImageNet scale (K=1000,
-  n_query=75) this cuts the solver's work ~10x with bit-equal results for
-  every actually-nonzero cluster.
+  n_query=75) this cuts the solver's work ~10x. Exact whenever at most C
+  clusters carry query mass (the typical underflow regime; guaranteed for
+  the hard variant); the wrapper checks the final assignments' sparsity
+  after the run and warns if the approximation could have engaged —
+  set ``compact_clusters: False`` for the guaranteed-exact path.
 """
 
 from __future__ import annotations
@@ -78,10 +81,14 @@ def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
 
 
 def _criterion(alpha_old, alpha):
+    """(mean, max) per-task relative alpha change. The mean matches the
+    reference's recorded criterion; the max gates early stopping so no task
+    is frozen mid-trajectory."""
     n_task = alpha.shape[0]
     diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
     denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
-    return jnp.mean(diff / denom)
+    rel = diff / denom
+    return jnp.mean(rel), jnp.max(rel)
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
@@ -115,11 +122,11 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     u, v, alpha = _em_step_full(
         u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver, hard
     )
-    first_crit = _criterion(alpha_old, alpha)
+    first_crit, first_max = _criterion(alpha_old, alpha)
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, v, alpha_old, it, crits = carry
+        u, v, alpha_old, it, crits, _ = carry
         if use_compact:
             u, v, alpha = _em_step_compact(
                 u, v, alpha_old, log_query, lambd, n_query, n_class,
@@ -130,19 +137,19 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                 u, v, alpha_old, log_query, lambd, n_query, n_class,
                 iter_mm, solver, hard,
             )
-        crit = _criterion(alpha_old, alpha)
+        crit, crit_max = _criterion(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, v, alpha, it + 1, crits
+        return u, v, alpha, it + 1, crits, crit_max
 
     def cond(carry):
-        _, _, _, it, crits = carry
+        _, _, _, it, _, crit_max = carry
         not_done = it < n_iter
         if not early_stop:
             return not_done
-        return jnp.logical_and(not_done, crits[jnp.maximum(it - 1, 0)] >= early_stop_tol)
+        return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, criterions = jax.lax.while_loop(
-        cond, body, (u, v, alpha, jnp.array(1, jnp.int32), crits0)
+    u, _, _, _, criterions, _ = jax.lax.while_loop(
+        cond, body, (u, v, alpha, jnp.array(1, jnp.int32), crits0, first_max)
     )
     return u, criterions
 
@@ -169,6 +176,15 @@ class EM_DIRICHLET(TransductiveMethod):
         self.compact = bool(args.get("compact_clusters", True))
         self.early_stop = bool(args.get("early_stop", True))
 
+    def _check_compaction(self, u, n_query, n_class):
+        if self.compact and n_class > 2 * (n_query + _COMPACT_MARGIN):
+            from ..base import check_compaction_validity
+
+            check_compaction_validity(
+                u, n_query + _COMPACT_MARGIN,
+                logger=self.logger,
+            )
+
     def _infer(self, task):
         if not self.args.use_softmax_feature:
             raise ValueError(
@@ -179,7 +195,7 @@ class EM_DIRICHLET(TransductiveMethod):
             f" ==> Executing {'HARD ' if self.hard else ''}EM-DIRICHLET "
             f"with LAMBDA = {self.lambd} and T = {self.args.T}"
         )
-        return em_dirichlet_infer(
+        u, criterions = em_dirichlet_infer(
             task["x_q"],
             jnp.float32(self.lambd),
             n_iter=self.n_iter,
@@ -189,3 +205,5 @@ class EM_DIRICHLET(TransductiveMethod):
             compact=self.compact,
             early_stop=self.early_stop,
         )
+        self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
+        return u, criterions

@@ -14,6 +14,11 @@ def get_one_hot(y, n_class, dtype=jnp.float32):
     return (y[..., None] == jnp.arange(n_class, dtype=y.dtype)).astype(dtype)
 
 
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """Row-normalize to unit L2 norm (zero rows stay finite)."""
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
 def device_sync(x):
     """Block until ``x`` is computed.
 
