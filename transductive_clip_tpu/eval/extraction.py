@@ -105,23 +105,26 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
     for split, T, path in missing:
         by_split.setdefault(split, []).append((T, path))
     for split, targets in by_split.items():
-        feats = {path: [] for _, path in targets}
+        # dispatch every batch asynchronously (jax overlaps the host->device
+        # image transfer of batch i+1 with the encode of batch i); embeddings
+        # are tiny, so holding them all on device until the end is cheap
+        pending = []
         labels = []
         for images, batch_labels in iter_image_batches(
             split_sources[split], preprocess=preprocess,
             batch_size=getattr(args, "extract_batch_size", 256),
         ):
-            image_features = np.array(model.encode_image_batch(images), np.float32)
-            image_features /= np.linalg.norm(image_features, axis=-1, keepdims=True)
-            for T, path in targets:
-                if T is None:
-                    feats[path].append(image_features)
-                else:
-                    logits = T * image_features @ text_features.T
-                    logits -= logits.max(axis=-1, keepdims=True)
-                    e = np.exp(logits)
-                    feats[path].append(e / e.sum(axis=-1, keepdims=True))
+            pending.append(model.encode_image_batch(images))
             labels.append(np.asarray(batch_labels))
+        embeddings = np.concatenate([np.array(p, np.float32) for p in pending])
+        embeddings /= np.linalg.norm(embeddings, axis=-1, keepdims=True)
         all_labels = np.concatenate(labels)
-        for _, path in targets:
-            save_feature_cache(path, np.concatenate(feats[path]), all_labels)
+        for T, path in targets:
+            if T is None:
+                out = embeddings
+            else:
+                logits = T * embeddings @ text_features.T
+                logits -= logits.max(axis=-1, keepdims=True)
+                e = np.exp(logits)
+                out = e / e.sum(axis=-1, keepdims=True)
+            save_feature_cache(path, out, all_labels)

@@ -73,6 +73,15 @@ class JaxCLIP:
             )
 
         def enc_image(p, x):
+            if x.dtype == jnp.uint8:
+                # device-side CLIP normalization (host ships raw uint8:
+                # 4x smaller transfers, no per-pixel host math)
+                from .preprocess import CLIP_MEAN, CLIP_STD
+
+                x = x.astype(compute_dtype) / 255.0
+                x = (x - jnp.asarray(CLIP_MEAN, compute_dtype)) / jnp.asarray(
+                    CLIP_STD, compute_dtype
+                )
             out = self.module.apply(
                 _cast(p, compute_dtype), x.astype(compute_dtype),
                 method=CLIPModule.encode_image,
@@ -91,7 +100,8 @@ class JaxCLIP:
 
     # -- image ---------------------------------------------------------
     def encode_image_batch(self, images):
-        """images: [b, H, W, 3] float32 (CLIP-normalized, NHWC)."""
+        """images: [b, H, W, 3] NHWC — float32 (CLIP-normalized) or raw
+        uint8 (normalized on device)."""
         return self._encode_image(self.params, jnp.asarray(images))
 
     # -- text ----------------------------------------------------------
@@ -148,4 +158,5 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0):
     from .preprocess import make_preprocess
 
     model = JaxCLIP(cfg, params)
-    return model, make_preprocess(cfg.vision.image_size)
+    # uint8 preprocess: normalization happens on device (smaller transfers)
+    return model, make_preprocess(cfg.vision.image_size, dtype="uint8")
