@@ -92,4 +92,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # tunneled TPU backends occasionally throw transient
+        # FAILED_PRECONDITION errors; one retry keeps driver runs alive
+        import traceback
+
+        traceback.print_exc()
+        main()

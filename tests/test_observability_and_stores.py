@@ -81,3 +81,22 @@ def test_profile_dir_writes_trace(tmp_path, monkeypatch, rng):
     with trace_if_requested(str(prof)):
         jnp.ones((8, 8)).sum().block_until_ready()
     assert any(prof.rglob("*")), "profiler produced no files"
+
+
+def test_reference_torch_cache_loads(tmp_path, rng):
+    """Caches written by the torch reference (torch tensors in the pickle)
+    must load transparently."""
+    torch = pytest.importorskip("torch")
+    import pickle
+
+    from transductive_clip_tpu.features.cache import load_feature_cache
+
+    feats = torch.rand(10, 4)
+    labels = torch.arange(10)
+    path = str(tmp_path / "test_softmax_RN50_T30.plk")
+    with open(path, "wb") as f:
+        pickle.dump({"concat_features": feats, "concat_labels": labels}, f)
+    f2, l2 = load_feature_cache(path)
+    assert f2.dtype == np.float32 and l2.dtype == np.int64
+    np.testing.assert_allclose(f2, feats.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(l2, labels.numpy())
