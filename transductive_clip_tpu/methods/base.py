@@ -70,7 +70,10 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
         probs = e / e.sum(axis=-1, keepdims=True)
 
     if bool(cfg.graph_matching):
-        new_preds = hungarian_matching(preds, probs)
+        if str(cfg.get("matching_backend", "host")) == "device":
+            new_preds = device_matching(preds, one_hot, probs)
+        else:
+            new_preds = hungarian_matching(preds, probs)
     else:
         new_preds = basic_matching(preds, probs)
 
@@ -97,6 +100,28 @@ def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
 
             warnings.warn(msg)
     return populated
+
+
+def device_matching(preds, one_hot, probs):
+    """Cluster->class matching via the batched on-device auction
+    (ops/auction.py): rows = the top-n_query clusters by population (absent
+    clusters get constant-zero value rows, which cannot displace real rows
+    from their optimum)."""
+    import jax.numpy as jnp
+
+    from ..ops.auction import auction_assign
+
+    n_task, n_query, n_class = one_hot.shape
+    counts = one_hot.sum(axis=1)                              # [N, K]
+    r = min(n_class, n_query)
+    idx = np.argsort(-counts, axis=1)[:, :r]                  # [N, R]
+    vals = np.take_along_axis(probs, idx[..., None], axis=1)  # [N, R, C]
+    present = np.take_along_axis(counts, idx, axis=1) > 0
+    vals = vals * present[..., None]
+    cols = np.asarray(auction_assign(jnp.asarray(vals, jnp.float32)))
+    lut = np.zeros((n_task, n_class), preds.dtype)
+    np.put_along_axis(lut, idx, cols.astype(preds.dtype), axis=1)
+    return np.take_along_axis(lut, preds, axis=1)
 
 
 def direct_accuracy(u, y_q):
