@@ -51,3 +51,27 @@ def test_full_config_load():
         config_root=CONFIG_ROOT,
     )
     assert cfg2.iter == 3
+
+
+def test_get_log_file_versioning(tmp_path):
+    from transductive_clip_tpu.core.logger import get_log_file
+
+    f0 = get_log_file(str(tmp_path), "eurosat", "EM_DIRICHLET")
+    assert f0.endswith("EM_DIRICHLET_run_0.log")
+    open(f0, "w").close()
+    f1 = get_log_file(str(tmp_path), "eurosat", "EM_DIRICHLET")
+    assert f1.endswith("EM_DIRICHLET_run_1.log")
+
+
+def test_cfgnode_clone_independent():
+    cfg = CfgNode({"a": 1, "nested": {"b": 2}})
+    c2 = cfg.clone()
+    c2.a = 9
+    c2.nested.b = 7
+    assert cfg.a == 1 and cfg.nested.b == 2
+
+
+def test_int_to_float_coercion():
+    cfg = CfgNode({"temp": 30.0})
+    out = merge_cfg_from_list(cfg, ["temp", "15"])
+    assert out.temp == 15.0 and isinstance(out.temp, float)

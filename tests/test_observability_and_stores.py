@@ -100,3 +100,27 @@ def test_reference_torch_cache_loads(tmp_path, rng):
     assert f2.dtype == np.float32 and l2.dtype == np.int64
     np.testing.assert_allclose(f2, feats.numpy(), rtol=1e-6)
     np.testing.assert_array_equal(l2, labels.numpy())
+
+
+def test_cache_conversion_script(tmp_path, rng):
+    import subprocess
+    import sys
+
+    from transductive_clip_tpu.features.store import open_store
+
+    feats = rng.normal(size=(6, 3)).astype(np.float32)
+    labels = rng.integers(0, 2, 6)
+    src = str(tmp_path / "a.plk")
+    dst = str(tmp_path / "a.npz")
+    open_store("plk").save(src, feats, labels)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convert_feature_cache.py"),
+         src, dst],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    f2, l2 = open_store("npz").load(dst)
+    np.testing.assert_allclose(f2, feats, rtol=1e-6)
+    np.testing.assert_array_equal(l2, labels)

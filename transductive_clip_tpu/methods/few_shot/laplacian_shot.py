@@ -44,7 +44,14 @@ def laplacian_shot_infer(support, query, y_s, y_q, lmd,
                          n_iter: int, knn: int, n_class: int,
                          norm_type: str = "L2N"):
     """Returns (acc_trace [N, n_iter], Y [N, n, K])."""
-    if norm_type in ("L2N", "CL2N"):
+    if norm_type == "CL2N":
+        # centered L2: subtract the support mean before normalizing (the
+        # reference's CL2N branch needs a train mean it never passes and
+        # crashes; implemented here with the support mean, like BDCSPN)
+        mean = jnp.mean(support, axis=1, keepdims=True)
+        support = _l2_normalize(support - mean)
+        query = _l2_normalize(query - mean)
+    elif norm_type == "L2N":
         support = _l2_normalize(support)
         query = _l2_normalize(query)
 
