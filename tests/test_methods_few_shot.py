@@ -109,3 +109,12 @@ def test_knn_affinity_is_actual_nearest_neighbors(rng):
             want = set(np.argsort(d[i])[:2])
             got = set(np.flatnonzero(W[t, i]))
             assert got == want, (t, i, got, want)
+
+
+def test_laplacian_shot_cl2n(rng):
+    """CL2N centers on the support mean; must still solve separable tasks."""
+    xs, ys, xq, yq = make_few_shot_tasks(rng)
+    cfg = make_cfg(norm_type="CL2N", iter=20)
+    method = get_few_shot_method("LAPLACIAN_SHOT", args=cfg)
+    logs = method.run_task({"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=2)
+    assert logs["acc"][:, -1].mean() > 0.9

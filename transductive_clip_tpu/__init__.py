@@ -9,3 +9,21 @@ mesh.  Capability parity target: SegoleneMartin/transductive-CLIP (CVPR 2024,
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name in ("get_zero_shot_method", "get_few_shot_method",
+                "ZERO_SHOT_METHODS", "FEW_SHOT_METHODS"):
+        from . import methods
+
+        return getattr(methods, name)
+    if name in ("EvaluatorZeroShot", "EvaluatorFewShot"):
+        from . import eval as _eval
+
+        return getattr(_eval, name)
+    if name == "load_full_config":
+        from .core.config import load_full_config
+
+        return load_full_config
+    raise AttributeError(name)
