@@ -103,3 +103,35 @@ def test_few_shot_val_sweep_appends_grid(cfg_base, rng):
                              "BDCSPN_softmax_s2.txt")).read()
     assert grid.startswith("val_param\tacc")
     assert "20.0\t" in grid
+
+
+def test_zero_shot_visual_features_end_to_end(cfg_base, rng):
+    """Visual-embedding path: cached visual features + cached text
+    prototypes flow through init, clustering, and text-sim matching."""
+    from transductive_clip_tpu.core.io import save_pickle
+
+    cfg = cfg_base(
+        dataset="eurosat", method="hard_kmeans", shots=0,
+        number_tasks=4, batch_size=2, n_query=30, seed=0, iter=8,
+        use_softmax_feature=False,
+    )
+    d, K = 16, 10
+    text = rng.normal(size=(K, d)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    feats, labels = [], []
+    for c in range(K):
+        f = text[c] + 0.05 * rng.normal(size=(40, d)).astype(np.float32)
+        feats.append(f / np.linalg.norm(f, axis=-1, keepdims=True))
+        labels.append(np.full(40, c, np.int64))
+    save_feature_cache(
+        os.path.join("data", "eurosat", "saved_features", "test_visual_RN50.plk"),
+        np.concatenate(feats), np.concatenate(labels),
+    )
+    os.makedirs(os.path.join("data", "eurosat", "saved_features"), exist_ok=True)
+    save_pickle(
+        os.path.join("data", "eurosat", "saved_features", "text_RN50.plk"),
+        {"text_features": text},
+    )
+    ev = EvaluatorZeroShot(args=cfg)
+    acc, _ = ev.run_full_evaluation()   # model=None: everything from caches
+    assert acc > 0.9
