@@ -19,6 +19,30 @@ def test_dryrun_multichip_on_virtual_mesh():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_driver_convention():
+    """The driver calls dryrun_multichip in a plain environment with a
+    single-device backend — no conftest re-exec, no XLA_FLAGS. It must
+    provision the 8-device virtual CPU mesh itself (subprocess re-exec)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("_TCLIP_TESTS_REEXECED", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    # 1 CPU device, like the driver's 1 TPU device (without claiming the TPU)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
 @pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
