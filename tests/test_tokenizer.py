@@ -68,6 +68,38 @@ def test_truncation_keeps_eot(tok):
     assert out[-1] == tok.encoder["<|endoftext|>"]
 
 
+def test_hand_computed_token_ids(tok):
+    """Exact ids derived by hand from the vocab layout (256 byte chars,
+    then 256 'X</w>' chars, then merges in file order, then SOT/EOT).
+
+    The byte alphabet orders printables first ('!'=33 at index 0), so
+    'a'(97) -> id 64, 'a</w>' -> 256+64 = 320 — which is also the real CLIP
+    id for the word "a" (the first 512 vocab entries are construction-
+    identical to OpenAI's), 'o' -> 78, 'f</w>' -> 325, etc. Merge ids:
+    512='ca', 513='cat</w>', 514='do', 515='dog</w>', 516='at</w>',
+    517=SOT, 518=EOT.
+    """
+    assert tok.encoder["<|startoftext|>"] == 517
+    assert tok.encoder["<|endoftext|>"] == 518
+    # "cat": (c,a,t</w>) -> rank0 merge (c,a) -> (ca,t</w>) -> rank1 -> cat</w>
+    assert tok.encode("cat") == [513]
+    assert tok.encode("dog") == [515]
+    # "at": (a,t</w>) -> rank4 merge
+    assert tok.encode("at") == [516]
+    # "photo" has no applicable merges -> byte-level pieces
+    assert tok.encode("a photo of a cat") == [
+        320,                      # a</w>
+        79, 71, 78, 83, 334,      # p h o t o</w>
+        78, 325,                  # o f</w>
+        320,                      # a</w>
+        513,                      # cat</w>
+    ]
+    padded = tok.encode_padded("a photo of a cat", context_length=16)
+    assert padded[:12].tolist() == [517, 320, 79, 71, 78, 83, 334, 78, 325,
+                                    320, 513, 518]
+    assert padded[12:].tolist() == [0, 0, 0, 0]
+
+
 def test_missing_vocab_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="BPE"):
         SimpleTokenizer(bpe_path=str(tmp_path / "nope.gz"))

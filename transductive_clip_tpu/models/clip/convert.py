@@ -103,9 +103,11 @@ def _resnet_params(sd, cfg):
                 "conv3": _conv(sd, f"{p}.conv3.weight"),
                 "bn3": _bn(sd, f"{p}.bn3"),
             }
-            if f"{p}.downsample.1.weight" in sd:
-                blk["downsample_conv"] = _conv(sd, f"{p}.downsample.1.weight")
-                blk["downsample_bn"] = _bn(sd, f"{p}.downsample.2")
+            # OpenAI's downsample is Sequential(("-1", AvgPool), ("0", Conv),
+            # ("1", BN)) -> state-dict keys downsample.0 (conv), .1 (bn)
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = _conv(sd, f"{p}.downsample.0.weight")
+                blk["downsample_bn"] = _bn(sd, f"{p}.downsample.1")
             out[f"layer{stage + 1}_{b}"] = blk
     out["attnpool"] = {
         "positional_embedding": sd["visual.attnpool.positional_embedding"],

@@ -69,7 +69,8 @@ class SimpleTokenizer:
         self.byte_encoder = bytes_to_unicode()
         merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
         merges = merges[1: 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        # blank tail lines (short fixture files) must not become vocab slots
+        merges = [tuple(m.split()) for m in merges if m.strip()]
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for merge in merges:
