@@ -102,3 +102,32 @@ def test_few_shot_generator_label_remap_and_column_permutation(rng):
     np.testing.assert_array_equal(
         tasks["x_s"][0].argmax(-1), tasks["y_s"][0, :, 0]
     )
+
+
+def test_zero_shot_unfillable_pool_raises_not_hangs():
+    import pytest
+
+    # 4 samples per class, 10 classes: max pool 10*4=40 < n_query=75
+    labels = np.repeat(np.arange(10), 4)
+    rng = np.random.default_rng(0)
+    sampler = CategoriesSamplerZeroShot(
+        n_batch=1, k_eff=5, n_class=10, n_query=75,
+        force_query_size=True, rng=rng,
+    )
+    sampler.create_list_classes(labels)
+    with pytest.raises(RuntimeError, match="force_query_size"):
+        list(SamplerQueryZeroShot(sampler))
+
+
+def test_few_shot_unfillable_pool_raises_not_hangs():
+    import pytest
+
+    labels = np.repeat(np.arange(10), 3)
+    rng = np.random.default_rng(0)
+    sampler = CategoriesSamplerFewShot(
+        n_batch=1, k_eff=4, n_class=10, s_shot=1, n_query=75,
+        force_query_size=True, rng=rng,
+    )
+    sampler.create_list_classes(labels, labels)
+    with pytest.raises(RuntimeError, match="force_query_size"):
+        list(SamplerQueryFewShot(sampler))

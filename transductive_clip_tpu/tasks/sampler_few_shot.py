@@ -61,15 +61,25 @@ class SamplerQueryFewShot:
         return self.s.n_batch
 
     def __iter__(self):
+        from .sampler_zero_shot import MAX_FORCE_RETRIES
+
         s = self.s
         for _ in range(s.n_batch):
             query = np.empty((0,), np.int64)
             n_trials = 0
-            while len(query) < s.n_query and n_trials < 1:
+            max_trials = MAX_FORCE_RETRIES if s.force_query_size else 1
+            while len(query) < s.n_query and n_trials < max_trials:
                 classes = s.rng.permutation(s.n_class)[: s.k_eff]
                 pool = np.concatenate([s.m_ind_query[c] for c in classes])
                 pos = s.rng.permutation(len(pool))[: s.n_query]
                 query = pool[pos]
-                if not s.force_query_size:
-                    n_trials += 1
+                n_trials += 1
+            if s.force_query_size and len(query) < s.n_query:
+                sizes = sorted(len(p) for p in s.m_ind_query)
+                raise RuntimeError(
+                    f"force_query_size: no draw of k_eff={s.k_eff} classes "
+                    f"can fill n_query={s.n_query} after {max_trials} "
+                    f"retries (largest class pools: {sizes[-s.k_eff:]})."
+                    " Reduce n_query or use a larger split."
+                )
             yield query

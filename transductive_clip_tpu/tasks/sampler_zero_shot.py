@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# retry budget for force_query_size draws before declaring the pool unfillable
+MAX_FORCE_RETRIES = 1000
+
 
 class CategoriesSamplerZeroShot:
     def __init__(self, n_batch, k_eff, n_class, n_query,
@@ -52,11 +55,23 @@ class SamplerQueryZeroShot:
             k_eff = int(s.rng.integers(3, 11))  # per-task redraw, 3..10 incl.
             query = np.empty((0,), np.int64)
             n_trials = 0
-            while len(query) < s.n_query and n_trials < 1:
+            # the reference retries forever under force_query_size
+            # (sampler_zero_shot.py:57-71); bounded here so an unfillable
+            # pool fails loudly instead of hanging
+            max_trials = MAX_FORCE_RETRIES if s.force_query_size else 1
+            while len(query) < s.n_query and n_trials < max_trials:
                 classes = s.rng.permutation(s.n_class)[:k_eff]
                 pool = np.concatenate([s.m_ind_query[c] for c in classes])
                 pos = s.rng.permutation(len(pool))[: s.n_query]
                 query = pool[pos]
-                if not s.force_query_size:
-                    n_trials += 1
+                n_trials += 1
+            if s.force_query_size and len(query) < s.n_query:
+                sizes = sorted(len(p) for p in s.m_ind_query)
+                raise RuntimeError(
+                    f"force_query_size: no draw of k_eff={k_eff} classes can "
+                    f"fill n_query={s.n_query} after {max_trials} retries "
+                    f"(largest class pools: {sizes[-k_eff:]} -> max pool "
+                    f"{sum(sizes[-k_eff:])}). Reduce n_query or use a larger "
+                    "split."
+                )
             yield query
