@@ -87,6 +87,16 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
     _require_model(model, "Feature extraction")
     from ..data import build_dataset, iter_image_batches
 
+    # batch-DP: shard image batches across all local devices for the jitted
+    # CLIP forward (single-device runs are unaffected)
+    if getattr(model, "set_mesh", None) is not None and model.mesh is None:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+
+            model.set_mesh(make_mesh(tp=1))
+
     dataset = build_dataset(args.dataset, args.dataset_path)
     text_features = None
     if args.use_softmax_feature:

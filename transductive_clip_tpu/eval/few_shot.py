@@ -147,6 +147,8 @@ class EvaluatorFewShot:
         )
         timer = PhaseTimer()
         mesh = _maybe_task_mesh(args, self.logger)
+        if mesh is not None:
+            method.set_mesh(mesh)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)

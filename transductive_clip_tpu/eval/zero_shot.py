@@ -30,8 +30,13 @@ from ..tasks import (
 
 
 def _maybe_task_mesh(args, logger=None):
-    """Data-parallel mesh over all local devices when data_parallel=True
-    and the task batch divides the device count."""
+    """(dp, tp) mesh over all local devices when data_parallel=True.
+
+    tp comes from ``args.tp`` when set (>0), else ``choose_layout`` picks it
+    from n_class (class-axis TP engages at ImageNet scale where alpha is
+    [N, 1000, 1000]). Falls back to single-device when the task batch does
+    not divide dp.
+    """
     if not bool(args.get("data_parallel", False)):
         return None
     import jax
@@ -39,16 +44,30 @@ def _maybe_task_mesh(args, logger=None):
     n_dev = len(jax.devices())
     if n_dev <= 1:
         return None
-    if args.batch_size % n_dev != 0:
+    from ..parallel import choose_layout, make_mesh
+
+    tp = int(args.get("tp", 0))
+    if tp <= 0:
+        _, tp = choose_layout(n_dev, int(args.get("n_class", 0) or 0))
+    if n_dev % tp != 0:
+        if logger:
+            logger.info(
+                f"data_parallel: tp={tp} does not divide {n_dev} devices; "
+                "running single-device"
+            )
+        return None
+    dp = n_dev // tp
+    if args.batch_size % dp != 0:
         if logger:
             logger.info(
                 f"data_parallel requested but batch_size={args.batch_size} "
-                f"is not divisible by {n_dev} devices; running single-device"
+                f"is not divisible by dp={dp} ({n_dev} devices / tp={tp}); "
+                "running single-device"
             )
         return None
-    from ..parallel import make_mesh
-
-    return make_mesh(tp=1)
+    if logger:
+        logger.info(f"data_parallel: mesh dp={dp} tp={tp} over {n_dev} devices")
+    return make_mesh(tp=tp)
 
 
 class EvaluatorZeroShot:
@@ -108,6 +127,8 @@ class EvaluatorZeroShot:
         )
         timer = PhaseTimer()
         mesh = _maybe_task_mesh(args, self.logger)
+        if mesh is not None:
+            method.set_mesh(mesh)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)

@@ -144,6 +144,14 @@ class TransductiveMethod:
         self.log_file = log_file
         self.logger = Logger(type(self).__name__, log_file) if log_file else None
         self.eps = EPS
+        self.mesh = None
+
+    def set_mesh(self, mesh):
+        """Attach a (dp, tp) device mesh. Mesh-aware methods annotate their
+        jitted state with it; for the rest, dp parallelism still applies via
+        the sharded inputs (GSPMD propagates the task-axis sharding)."""
+        self.mesh = mesh
+        return self
 
     # -- subclass hook ----------------------------------------------------
     def _infer(self, task):

@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ...ops.common import EPS, get_one_hot
+from ...ops.common import EPS, constrainer, get_one_hot
 from ...ops.dirichlet import dirichlet_log_pdf, update_alpha
 from ...ops.precision import f32_einsum
 from ..base import FewShotMethod
@@ -35,23 +35,33 @@ _COMPACT_MARGIN = 16
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard",
-                                   "solver", "early_stop", "compact"))
+                                   "solver", "early_stop", "compact", "mesh"))
 def em_dirichlet_fs_infer(support, query, y_s, lambd,
                           n_iter: int, iter_mm: int, n_class: int, hard: bool,
                           solver: str = "mm", early_stop: bool = True,
-                          early_stop_tol: float = 1e-6, compact: bool = True):
-    """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s]."""
+                          early_stop_tol: float = 1e-6, compact: bool = True,
+                          mesh=None):
+    """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s].
+
+    ``mesh``: optional (dp, tp) mesh — tasks shard over dp, alpha's trailing
+    feature axis over tp (same layout as the zero-shot path).
+    """
+    con = constrainer(mesh)
     n_task, n_query, _ = query.shape
+    support = con(support, "dp", None, None)
+    query = con(query, "dp", None, None)
     log_s = jnp.log(support + EPS)
     log_q = jnp.log(query + EPS)
     y_s_one_hot = get_one_hot(y_s, n_class)                       # [N, s, K]
     y_s_sum = jnp.sum(y_s_one_hot, axis=1)                        # [N, K]
     # support statistics are constant across iterations
-    supp_stat = f32_einsum("tsk,tsd->tkd", y_s_one_hot, log_s)
+    supp_stat = con(f32_einsum("tsk,tsd->tkd", y_s_one_hot, log_s),
+                    "dp", None, "tp")
 
     u0 = query
     v0 = jnp.zeros((n_task, n_class), jnp.float32)
-    alpha0 = jnp.ones((n_task, n_class, n_class), jnp.float32)
+    alpha0 = con(jnp.ones((n_task, n_class, n_class), jnp.float32),
+                 "dp", None, "tp")
 
     n_compact = min(n_class, n_query + _COMPACT_MARGIN)
     use_compact = compact and n_class > 2 * n_compact
@@ -68,9 +78,11 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         u_sum = jnp.sum(u, axis=1)
         query_stat = f32_einsum("tnk,tnd->tkd", u, log_q)
         y_cst = (supp_stat + query_stat) / (y_s_sum + u_sum)[..., None]
+        y_cst = con(y_cst, "dp", None, "tp")
         alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
+        alpha = con(alpha, "dp", None, "tp")
         u, v = finish_step(u, alpha)
-        return u, v, alpha
+        return con(u, "dp", None, None), v, alpha
 
     def step_compact(u, alpha_old):
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
@@ -80,11 +92,13 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         supp_c = jnp.take_along_axis(supp_stat, idx[..., None], axis=1)
         y_s_sum_c = jnp.take_along_axis(y_s_sum, idx, axis=1)
         y_c = (supp_c + query_stat_c) / (y_s_sum_c + mass)[..., None]
+        y_c = con(y_c, "dp", None, "tp")
         alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
         alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
         alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
+        alpha = con(alpha, "dp", None, "tp")
         u, v = finish_step(u, alpha)
-        return u, v, alpha
+        return con(u, "dp", None, None), v, alpha
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -172,6 +186,7 @@ class EM_DIRICHLET(FewShotMethod):
             solver=self.solver,
             early_stop=self.early_stop,
             compact=self.compact,
+            mesh=self.mesh,
         )
         self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
         return u, criterions

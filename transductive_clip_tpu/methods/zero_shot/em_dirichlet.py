@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ...ops.common import EPS, get_one_hot
+from ...ops.common import EPS, constrainer, get_one_hot
 from ...ops.dirichlet import dirichlet_log_pdf, update_alpha, weighted_log_means
 from ...ops.precision import f32_einsum
 from ..base import TransductiveMethod
@@ -42,23 +42,29 @@ _COMPACT_MARGIN = 16
 
 
 def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
-                  iter_mm, solver, hard):
+                  iter_mm, solver, hard, con):
     """One full-width EM iteration (all K cluster rows solved)."""
     y_cst, nonzero = weighted_log_means(u, log_query, eps=EPS)
+    y_cst = con(y_cst, "dp", None, "tp")
     alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
     # keep previous alpha rows for empty clusters (reference: :224-226)
-    alpha = jnp.where(nonzero, alpha, alpha_old)
+    alpha = con(jnp.where(nonzero, alpha, alpha_old), "dp", None, "tp")
     v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
     logits = dirichlet_log_pdf(log_query, alpha)
     u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
     if hard:
         u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-    return u, v, alpha
+    return con(u, "dp", None, None), v, alpha
 
 
 def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
-                     iter_mm, solver, hard, n_compact):
-    """EM iteration solving alpha only for the top-``n_compact`` clusters."""
+                     iter_mm, solver, hard, n_compact, con):
+    """EM iteration solving alpha only for the top-``n_compact`` clusters.
+
+    The cluster-row gathers/scatters act on alpha's axis 1; the sharded axes
+    (tasks over dp, feature axis over tp) are untouched, so no resharding is
+    needed on a mesh.
+    """
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
     mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
@@ -66,18 +72,19 @@ def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
     y_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
     y_c = y_c / jnp.maximum(mass, EPS)[..., None]
     nonzero_c = (mass > EPS)[..., None]
-    y_c = jnp.where(nonzero_c, y_c, -10.0)
+    y_c = con(jnp.where(nonzero_c, y_c, -10.0), "dp", None, "tp")
     alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
     alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
     alpha_c = jnp.where(nonzero_c, alpha_c, alpha_c_old)
     alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
+    alpha = con(alpha, "dp", None, "tp")
 
     v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
     logits = dirichlet_log_pdf(log_query, alpha)
     u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
     if hard:
         u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-    return u, v, alpha
+    return con(u, "dp", None, None), v, alpha
 
 
 def _criterion(alpha_old, alpha):
@@ -92,11 +99,12 @@ def _criterion(alpha_old, alpha):
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
-                                   "compact", "early_stop"))
+                                   "compact", "early_stop", "mesh"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                        solver: str = "mm", compact: bool = True,
                        early_stop: bool = True,
-                       early_stop_tol: float = 1e-6):
+                       early_stop_tol: float = 1e-6,
+                       mesh=None):
     """Run EM-Dirichlet on a batch of tasks.
 
     query: [N, n, K] softmax features. Returns (u [N, n, K], criterions [n_iter]).
@@ -106,12 +114,21 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     are fixed-point no-ops the reference executes blindly (its criterion
     trace shows ~1e-8 by iteration ~4 at ImageNet scale). The criterion
     trace keeps length ``n_iter`` (padded with the last value).
+
+    ``mesh``: optional (dp, tp) ``jax.sharding.Mesh``. Tasks shard over dp;
+    alpha's trailing feature axis shards over tp (per-device state
+    N/dp * K * K/tp), with the digamma row-sums and Dirichlet-logit
+    contraction psumming over ICI. Single-chip (mesh=None) and multi-chip
+    runs execute the same step code.
     """
+    con = constrainer(mesh)
     n_task, n_query, n_class = query.shape
+    query = con(query, "dp", None, None)
     log_query = jnp.log(query + EPS)
     u = query
     v = jnp.zeros((n_task, n_class), jnp.float32)
-    alpha = jnp.ones((n_task, n_class, n_class), jnp.float32)
+    alpha = con(jnp.ones((n_task, n_class, n_class), jnp.float32),
+                "dp", None, "tp")
 
     n_compact = min(n_class, n_query + _COMPACT_MARGIN)
     use_compact = compact and n_class > 2 * n_compact
@@ -120,7 +137,8 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     # every cluster
     alpha_old = alpha
     u, v, alpha = _em_step_full(
-        u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver, hard
+        u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver,
+        hard, con,
     )
     first_crit, first_max = _criterion(alpha_old, alpha)
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
@@ -130,12 +148,12 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         if use_compact:
             u, v, alpha = _em_step_compact(
                 u, v, alpha_old, log_query, lambd, n_query, n_class,
-                iter_mm, solver, hard, n_compact,
+                iter_mm, solver, hard, n_compact, con,
             )
         else:
             u, v, alpha = _em_step_full(
                 u, v, alpha_old, log_query, lambd, n_query, n_class,
-                iter_mm, solver, hard,
+                iter_mm, solver, hard, con,
             )
         crit, crit_max = _criterion(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
@@ -204,6 +222,7 @@ class EM_DIRICHLET(TransductiveMethod):
             solver=self.solver,
             compact=self.compact,
             early_stop=self.early_stop,
+            mesh=self.mesh,
         )
         self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
         return u, criterions

@@ -97,12 +97,27 @@ class JaxCLIP:
         self._encode_image = jax.jit(enc_image)
         self._encode_text = jax.jit(enc_text)
         self._tokenizer = None
+        self.mesh = None
+
+    def set_mesh(self, mesh):
+        """Enable batch-data-parallel encoding: image batches shard over the
+        mesh's ``dp`` axis (params replicate; GSPMD all-gathers the
+        embeddings). SURVEY §2.2 'Batch-DP for feature extraction'."""
+        self.mesh = mesh
+        return self
 
     # -- image ---------------------------------------------------------
     def encode_image_batch(self, images):
         """images: [b, H, W, 3] NHWC — float32 (CLIP-normalized) or raw
         uint8 (normalized on device)."""
-        return self._encode_image(self.params, jnp.asarray(images))
+        images = jnp.asarray(images)
+        if self.mesh is not None and images.shape[0] % self.mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            images = jax.device_put(
+                images, NamedSharding(self.mesh, P("dp", None, None, None))
+            )
+        return self._encode_image(self.params, images)
 
     # -- text ----------------------------------------------------------
     @property

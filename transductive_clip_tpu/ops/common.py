@@ -33,3 +33,25 @@ def device_sync(x):
     if leaves:
         float(jnp.sum(leaves[0].ravel()[:1]))
     return x
+
+
+def constrainer(mesh):
+    """Build a sharding-constraint function for ``mesh``.
+
+    Returns ``con(x, *axis_names)`` placing ``x`` with
+    ``PartitionSpec(*axis_names)`` on ``mesh`` — or the identity when mesh is
+    None, so single-chip and multi-chip code paths share one implementation
+    (the jitted math is annotated once; GSPMD inserts the collectives when a
+    mesh is live).
+    """
+    if mesh is None:
+        return lambda x, *spec: x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def con(x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
+    return con
