@@ -80,3 +80,31 @@ def test_visual_feature_init_path(rng):
     method = get_zero_shot_method("HARD_KMEANS", args=cfg)
     logs = method.run_task({"x_q": x, "y_q": y, "text_features": text_features})
     assert logs["acc"][:, -1].mean() > 0.8
+
+
+def test_timing_logs_reference_semantics(simplex_tasks):
+    """logs carry both the honest total-per-task time and the reference's
+    Table-2 metric (mean of cumulative per-iteration times,
+    = total*(n+1)/2n under uniform cost). reference: em_dirichlet.py:242-244."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    x, y = simplex_tasks
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=8, num_classes_test=8,
+        n_query=x.shape[1], T=30, use_softmax_feature=True,
+        graph_matching=False, iter=5, iter_mm=50, dirichlet_solver="minka",
+        compact_clusters=False, early_stop=False,
+    ))
+    logs = get_zero_shot_method("EM_DIRICHLET", args=cfg).run_task(
+        {"x_q": x, "y_q": y})
+    n = len(logs["criterions"])
+    assert n == 5
+    cum = logs["timestamps_cumulative"]
+    assert cum.shape == (n,)
+    assert np.all(np.diff(cum) > 0)
+    np.testing.assert_allclose(cum[-1], logs["timestamps"], rtol=1e-6)
+    np.testing.assert_allclose(
+        logs["timestamps_ref"],
+        logs["timestamps"] * (n + 1) / (2 * n), rtol=1e-6,
+    )

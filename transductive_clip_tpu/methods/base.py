@@ -131,6 +131,28 @@ def direct_accuracy(u, y_q):
     return acc.astype(np.float32), preds
 
 
+def timing_logs(elapsed, n_task, n_iter):
+    """Timing metrics for ``run_task`` logs.
+
+    ``timestamps`` is the honest total wall-clock per task. The reference
+    instead records the *cumulative* elapsed time at the end of every outer
+    iteration and reports their mean (reference: zero_shot/em_dirichlet.py:
+    211,242-244 and get_logs :97) — for n uniform iterations that is
+    total * (n+1) / (2n), i.e. about HALF the true per-task cost. The whole
+    EM loop here runs inside one compiled program (no host clock per
+    iteration), so ``timestamps_cumulative``/``timestamps_ref`` synthesize
+    the reference's Table-2 semantics under uniform per-iteration cost.
+    """
+    per_task = elapsed / n_task
+    n = max(int(n_iter), 1)
+    cumulative = per_task * (np.arange(1, n + 1) / n)
+    return {
+        "timestamps": per_task,
+        "timestamps_cumulative": cumulative,
+        "timestamps_ref": float(cumulative.mean()),
+    }
+
+
 class TransductiveMethod:
     """Base wrapper. Subclasses set ``acc_mode`` and implement ``_infer``."""
 
@@ -192,11 +214,12 @@ class TransductiveMethod:
         else:
             acc, preds = direct_accuracy(u, y_q)
 
+        criterions = np.asarray(criterions)
         return {
             "acc": acc,
             "preds": preds,
-            "criterions": np.asarray(criterions),
-            "timestamps": elapsed / n_task,
+            "criterions": criterions,
+            **timing_logs(elapsed, n_task, len(criterions)),
         }
 
 
@@ -234,9 +257,10 @@ class FewShotMethod(TransductiveMethod):
         n_task = query.shape[0]
 
         acc, preds = direct_accuracy(u, y_q)
+        criterions = np.asarray(criterions)
         return {
             "acc": acc,
             "preds": preds,
-            "criterions": np.asarray(criterions),
-            "timestamps": elapsed / n_task,
+            "criterions": criterions,
+            **timing_logs(elapsed, n_task, len(criterions)),
         }
