@@ -86,6 +86,10 @@ def main():
                 "value": round(tasks_per_sec, 3),
                 "unit": "tasks/sec",
                 "vs_baseline": round(vs_baseline, 2),
+                "baseline_note": (
+                    "reference Table 2: 1.04 s/task on an unspecified GPU; "
+                    "floor/exact-mode numbers: scripts/bench_suite.py"
+                ),
             }
         )
     )

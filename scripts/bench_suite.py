@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Extended benchmark suite at the paper's Table-2 timing scale.
+
+Measures, on the current backend (run on the TPU):
+
+1. headline production mode (Pallas/Minka solver + cluster compaction +
+   early stop), soft and hard EM-Dirichlet;
+2. reference-exact mode (solver='mm', compact=False, early_stop=False,
+   fixed outer schedule: 20 iterations soft / 10 hard — the exact
+   computation the reference performs, including its every-50-iteration
+   inner convergence stop, reference: em_dirichlet.py:157-177);
+3. the full zero-shot accuracy path at K=1000 — method + cluster-prototype
+   computation + cluster->class matching (host JV / device auction / basic
+   argmax) — and which phase dominates.
+
+bench.py stays the one-JSON-line driver artifact; this script prints one
+JSON line per row plus a readable table (capture into README.md).
+
+    python scripts/bench_suite.py [--tasks 100] [--n-class 1000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Table 2 (BASELINE.md), ImageNet column, per-task seconds
+REF_SOFT = 1.04
+REF_HARD = 0.697
+
+
+def timed(fn, *args, repeats=1, **kw):
+    from transductive_clip_tpu.ops.common import device_sync
+
+    out = fn(*args, **kw)          # compile + warmup
+    device_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args, **kw)
+        device_sync(out)
+    return (time.perf_counter() - t0) / repeats, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=100)
+    ap.add_argument("--n-query", type=int, default=75)
+    ap.add_argument("--n-class", type=int, default=1000)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes for a smoke run")
+    args = ap.parse_args()
+    if args.quick:
+        args.tasks, args.n_class = 8, 64
+
+    import jax
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.zero_shot.em_dirichlet import (
+        em_dirichlet_infer,
+    )
+    from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
+
+    backend = jax.default_backend()
+    fast_solver = "pallas" if backend == "tpu" else "minka"
+    n_task, n_query, n_class = args.tasks, args.n_query, args.n_class
+
+    rng = np.random.default_rng(0)
+    x_np, y_np = make_zero_shot_tasks(rng, n_task, n_query, n_class)
+    x = jnp.asarray(x_np)
+    lambd = jnp.float32(int(n_class / 5) * n_query)
+
+    rows = []
+
+    def bench_method(name, ref, **kw):
+        elapsed, (u, crit) = timed(em_dirichlet_infer, x, lambd, **kw)
+        per_task = elapsed / n_task
+        rows.append({
+            "metric": name,
+            "value": round(n_task / elapsed, 3),
+            "unit": "tasks/sec",
+            "seconds_per_task": round(per_task, 5),
+            "vs_baseline": round(ref / per_task, 2),
+            "baseline_note": f"reference {ref}s/task, unspecified GPU",
+        })
+        return u
+
+    prod = dict(solver=fast_solver, compact=True, early_stop=True)
+    exact = dict(solver="mm", compact=False, early_stop=False)
+    u_soft = bench_method("headline_soft_production", REF_SOFT,
+                          n_iter=20, iter_mm=1000, hard=False, **prod)
+    bench_method("headline_hard_production", REF_HARD,
+                 n_iter=10, iter_mm=1000, hard=True, **prod)
+    bench_method("reference_exact_soft", REF_SOFT,
+                 n_iter=20, iter_mm=1000, hard=False, **exact)
+    bench_method("reference_exact_hard", REF_HARD,
+                 n_iter=10, iter_mm=1000, hard=True, **exact)
+
+    # ---- full accuracy path: prototypes + cluster->class matching --------
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods.base import clustering_accuracy
+
+    def acc_path(backend_name, graph_matching=True):
+        cfg = CfgNode(dict(
+            n_class=n_class, T=30, use_softmax_feature=True,
+            graph_matching=graph_matching, matching_backend=backend_name,
+        ))
+        t0 = time.perf_counter()
+        acc, _ = clustering_accuracy(u_soft, x, y_np, cfg)
+        return time.perf_counter() - t0, float(acc.mean())
+
+    for name, gm in [("host", True), ("device", True), ("basic", False)]:
+        acc_path(name if gm else "host", graph_matching=gm)  # compile/warmup
+        elapsed, acc = acc_path(name if gm else "host", graph_matching=gm)
+        rows.append({
+            "metric": f"accuracy_path_matching_{name}",
+            "value": round(elapsed / n_task * 1000, 3),
+            "unit": "ms/task",
+            "acc": round(acc, 4),
+        })
+
+    for r in rows:
+        print(json.dumps(r))
+    print()
+    print(f"backend={backend}  n_task={n_task} n_query={n_query} "
+          f"n_class={n_class}")
+    w = max(len(r["metric"]) for r in rows)
+    for r in rows:
+        extra = (f"  vs_baseline={r['vs_baseline']}x"
+                 if "vs_baseline" in r else f"  acc={r.get('acc')}")
+        print(f"{r['metric']:<{w}}  {r['value']:>10} {r['unit']:<9}{extra}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,3 +51,25 @@ def test_device_matching_backend_matches_host(rng, simplex_tasks):
         m = get_zero_shot_method("HARD_EM_DIRICHLET", args=cfg)
         accs[backend] = m.run_task({"x_q": x, "y_q": y})["acc"][:, -1]
     np.testing.assert_allclose(accs["host"], accs["device"], atol=1e-6)
+
+
+def test_auction_randomized_sweep_vs_scipy(rng):
+    """~1000 random rectangular costs, including tie-heavy (quantized)
+    values: the auction's total assignment value must reach the scipy
+    optimum within its R*eps guarantee."""
+    checked = 0
+    for R, C in [(5, 5), (8, 20), (30, 60), (75, 200)]:
+        for quantize in (False, True):
+            batch = 125
+            values = rng.uniform(0, 1, size=(batch, R, C)).astype(np.float32)
+            if quantize:                       # many exact ties
+                values = np.round(values * 4) / 4
+            cols = np.asarray(auction_assign(jnp.asarray(values)))
+            for t in range(batch):
+                assert len(set(cols[t].tolist())) == R
+                got = values[t, np.arange(R), cols[t]].sum()
+                r, c = linear_sum_assignment(-values[t])
+                opt = values[t, r, c].sum()
+                assert got >= opt - R * 1e-5 - 1e-5, (R, C, quantize, got, opt)
+                checked += 1
+    assert checked == 1000

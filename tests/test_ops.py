@@ -114,3 +114,43 @@ def test_basic_matching(rng):
     probs[0, 1, 2] = 1
     probs[0, 2, 0] = 1
     np.testing.assert_array_equal(basic_matching(preds, probs), [[4, 2, 2, 0]])
+
+
+class TestClusteringAccuracyDevicePath:
+    """The device prototype path (compressed to present-cluster rows) must
+    reproduce the host reference-shaped path exactly, for every matching
+    backend and both feature types."""
+
+    def _make(self, rng, use_softmax, n_task=6, n_query=20, n_class=30, d=12):
+        from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
+
+        if use_softmax:
+            x, y = make_zero_shot_tasks(rng, n_task, n_query, n_class,
+                                        k_eff=5, concentration=20.0)
+            u = x + 0.01 * rng.normal(size=x.shape).astype(np.float32)
+            return x, y, np.abs(u), None
+        text = rng.normal(size=(n_class, d)).astype(np.float32)
+        text /= np.linalg.norm(text, axis=-1, keepdims=True)
+        y = rng.integers(0, n_class, (n_task, n_query))
+        x = text[y] + 0.1 * rng.normal(size=(n_task, n_query, d)).astype(np.float32)
+        u = np.exp(rng.normal(size=(n_task, n_query, n_class))).astype(np.float32)
+        # make u informative so clusters align with classes
+        u[np.arange(n_task)[:, None], np.arange(n_query)[None], y] += 50.0
+        return x.astype(np.float32), y, u, text
+
+    @pytest.mark.parametrize("use_softmax", [True, False])
+    @pytest.mark.parametrize("backend,gm", [("host", True), ("device", True),
+                                            ("host", False)])
+    def test_device_matches_host(self, rng, use_softmax, backend, gm):
+        from transductive_clip_tpu.core.config import CfgNode
+        from transductive_clip_tpu.methods.base import clustering_accuracy
+
+        x, y, u, text = self._make(rng, use_softmax)
+        base = dict(n_class=u.shape[2], T=30.0, use_softmax_feature=use_softmax,
+                    graph_matching=gm, matching_backend=backend)
+        acc_dev, preds_dev = clustering_accuracy(
+            u, x, y, CfgNode(dict(**base, proto_device=True)), text)
+        acc_host, preds_host = clustering_accuracy(
+            u, x, y, CfgNode(dict(**base, proto_device=False)), text)
+        np.testing.assert_array_equal(preds_dev, preds_host)
+        np.testing.assert_allclose(acc_dev, acc_host)

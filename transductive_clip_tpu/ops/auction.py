@@ -5,13 +5,22 @@ The host path (ops/matching.py) solves the rectangular LAP with the C++ JV
 solver once per task batch. This jittable Jacobi auction (Bertsekas 1988)
 lets the whole zero-shot accuracy path stay on device: all unassigned
 persons bid simultaneously for their best object (top-2 margin + eps),
-objects take the highest bid, and the fixed point is an assignment within
-R*eps of optimal — for the matching use-case (probs in [0, 1], eps = 1e-5)
-that is the exact optimum except for near-exact ties, which do not affect
-accuracy.
+objects take the highest bid, and at termination the assignment satisfies
+eps-complementary slackness, i.e. total value >= optimum - R*eps.
+
+Termination: the auction starts from zero prices (required for the
+rectangular C > R guarantee — carrying prices across epsilon-scaling phases
+is provably wrong here because unassigned objects keep inflated prices) and
+runs one phase. Near-exact ties on square instances degenerate into price
+wars advancing eps per round; measured worst case (5x5, values quantized to
+a 0.25 grid) is ~4e4 rounds of tiny [R, C] element-wise work, so the
+default iteration budget absorbs it. Rectangular tie-heavy instances
+terminate in a handful of rounds (spare objects break wars). Exercised
+adversarially in tests/test_auction.py's randomized quantized sweep.
 
 Shapes are static: R persons (cluster rows), C >= R objects (classes),
-vmapped over tasks. Select with ``matching_backend: 'device'``.
+vmapped over tasks. Select with ``matching_backend: 'device'`` (the default
+resolves to this on TPU).
 """
 
 from __future__ import annotations
@@ -78,6 +87,11 @@ def _auction_single(values, eps: float, max_iters: int):
 
 
 @partial(jax.jit, static_argnames=("eps", "max_iters"))
-def auction_assign(values, eps: float = 1e-5, max_iters: int = 5000):
-    """Batched max-value assignment. values: [N, R, C] -> col4row [N, R]."""
+def auction_assign(values, eps: float = 1e-5, max_iters: int = 200_000):
+    """Batched max-value assignment. values: [N, R, C] -> col4row [N, R].
+
+    Optimality gap <= R*eps at termination. ``max_iters`` bounds the
+    tie-driven worst case (see module docstring); typical continuous-valued
+    instances terminate in tens of rounds.
+    """
     return jax.vmap(lambda v: _auction_single(v, eps, max_iters))(values)

@@ -68,3 +68,44 @@ def basic_matching(preds, probs):
     probs = np.asarray(probs)
     matched = probs.argmax(axis=-1)                     # [N, K]
     return np.take_along_axis(matched, preds, axis=1)
+
+
+# ---- compressed-row variants ------------------------------------------------
+# The device prototype path (methods/base.py:_proto_rows_device) returns class
+# probabilities only for the top-R clusters by population, R = min(K, n_query).
+# preds holds at most n_query distinct clusters, and every present cluster has
+# count >= 1 while absent ones have 0, so the top-R rows always contain ALL
+# present clusters — these variants are exact, not approximations.
+
+
+def hungarian_matching_rows(preds, row_idx, row_probs, n_class):
+    """``hungarian_matching`` over compressed prototype rows.
+
+    preds: [N, n]; row_idx: [N, R] cluster ids of the rows; row_probs:
+    [N, R, C] their class probabilities.
+    """
+    preds = np.asarray(preds)
+    row_idx = np.asarray(row_idx)
+    row_probs = np.asarray(row_probs)
+    new_preds = np.zeros_like(preds)
+    for t in range(preds.shape[0]):
+        clusters, first_idx = np.unique(preds[t], return_index=True)
+        clusters = clusters[np.argsort(first_idx)]      # first-appearance order
+        pos = np.full(n_class, -1, np.int64)
+        pos[row_idx[t]] = np.arange(row_idx.shape[1])
+        cost = -row_probs[t, pos[clusters], :]          # [n_present, C]
+        _, matched_cols = lap_solve(cost)
+        lut = np.zeros(n_class, dtype=preds.dtype)
+        lut[clusters] = matched_cols
+        new_preds[t] = lut[preds[t]]
+    return new_preds
+
+
+def scatter_matching_rows(preds, row_idx, matched_cols, n_class):
+    """Rename clusters to classes given per-row matched columns
+    (basic/auction backends): lut[row_idx] = matched_cols; preds -> lut[preds]."""
+    preds = np.asarray(preds)
+    row_idx = np.asarray(row_idx)
+    lut = np.zeros((preds.shape[0], n_class), preds.dtype)
+    np.put_along_axis(lut, row_idx, np.asarray(matched_cols, preds.dtype), axis=1)
+    return np.take_along_axis(lut, preds, axis=1)
