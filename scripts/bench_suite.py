@@ -101,6 +101,13 @@ def main():
                  n_iter=20, iter_mm=1000, hard=False, **exact)
     bench_method("reference_exact_hard", REF_HARD,
                  n_iter=10, iter_mm=1000, hard=True, **exact)
+    # same exact schedule, MM iteration fused into the VMEM-resident kernel
+    exact_pl = dict(exact, solver="mm_pallas") if backend == "tpu" else None
+    if exact_pl:
+        bench_method("reference_exact_soft_mm_pallas", REF_SOFT,
+                     n_iter=20, iter_mm=1000, hard=False, **exact_pl)
+        bench_method("reference_exact_hard_mm_pallas", REF_HARD,
+                     n_iter=10, iter_mm=1000, hard=True, **exact_pl)
 
     # ---- full accuracy path: prototypes + cluster->class matching --------
     from transductive_clip_tpu.core.config import CfgNode

@@ -140,12 +140,17 @@ def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
 
 
 def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm"):
-    """Dispatch between the reference-exact MM solver, the fast Minka fixed
-    point, and the fused Pallas kernel (identical stationary equation)."""
+    """Dispatch between the reference-exact MM solver (XLA or VMEM-resident
+    Pallas), the fast Minka fixed point, and the fused Pallas Minka kernel
+    (identical stationary equation)."""
     if solver == "pallas":
         from .pallas_dirichlet import pallas_dirichlet_solve
 
         return pallas_dirichlet_solve(alpha0, y_cst)
+    if solver == "mm_pallas":
+        from .pallas_dirichlet import pallas_mm_solve
+
+        return pallas_mm_solve(alpha0, y_cst, iter_mm=iter_mm)
     if solver == "minka":
         return minka_update_alpha(alpha0, y_cst)
     return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .special import digamma_pos, inv_digamma
+from .special import digamma_pos, inv_digamma, lgamma_pos
+
+# polygamma(1, 1) = pi^2/6 (curvature limit at alpha -> 0; see ops/dirichlet.py)
+_TRIGAMMA_1 = 1.6449340668482264
 
 
 def _round_up(x, m):
@@ -66,6 +69,97 @@ def _solver_kernel(alpha_ref, y_ref, out_ref, *, n_valid, max_iters, tol,
     )
     alpha, _, _ = jax.lax.while_loop(cond, body, init)
     out_ref[:] = alpha
+
+
+def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
+               check_every, alpha_floor=1e-11):
+    """Reference-exact MM quadratic-surrogate iteration, VMEM-resident.
+
+    Same update and stopping rule as ops/dirichlet.py:mm_update_alpha
+    (reference: em_dirichlet.py:157-177), but alpha never leaves VMEM
+    between iterations and each cluster-row block early-exits on its own
+    criterion (a block stops only when ITS aggregate change is below tol,
+    so no row stops before the global rule would have let it).
+    """
+    alpha0 = alpha_ref[:]                                        # [1, BK, Kp]
+    y = y_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, alpha0.shape, alpha0.ndim - 1)
+    valid = lane < n_valid
+
+    def mm_iter(alpha):
+        digam = digamma_pos(alpha + 1.0)
+        curv = jnp.where(
+            alpha > alpha_floor,
+            jnp.abs(2.0 * (digam * alpha - lgamma_pos(alpha + 1.0))
+                    / (alpha * alpha)),
+            _TRIGAMMA_1,
+        )
+        s = jnp.sum(jnp.where(valid, alpha, 0.0), axis=-1, keepdims=True)
+        b = digam - digamma_pos(s) - curv * alpha - y
+        new = (-b + jnp.sqrt(b * b + 4.0 * curv)) / (2.0 * curv)
+        return jnp.where(valid, new, 0.0)
+
+    def block(carry):
+        alpha, it, _ = carry
+        new = jax.lax.fori_loop(
+            0, check_every, lambda _, a: mm_iter(a), alpha
+        )
+        num = jnp.sum((new - alpha) * (new - alpha))
+        den = jnp.maximum(jnp.sum(alpha * alpha), 1e-30)
+        return new, it + check_every, num / den
+
+    def cond(carry):
+        _, it, crit = carry
+        return jnp.logical_and(it < iter_mm, crit >= tol)
+
+    init = (
+        jnp.where(valid, alpha0, 0.0),
+        jnp.zeros((), jnp.int32),
+        jnp.full((), jnp.inf, jnp.float32),
+    )
+    alpha, _, _ = jax.lax.while_loop(cond, block, init)
+    out_ref[:] = alpha
+
+
+@partial(jax.jit, static_argnames=("iter_mm", "tol", "check_every",
+                                   "block_rows", "interpret"))
+def pallas_mm_solve(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
+                    check_every: int = 50, block_rows: int = 128,
+                    interpret: bool = False):
+    """Reference-exact MM solve with VMEM-resident blocks.
+
+    Same equations/tolerance/check cadence as ``mm_update_alpha``; the XLA
+    path streams the [N, R, K] state through HBM every iteration (~13 ms per
+    iteration at ImageNet scale), this kernel keeps each block on-chip for
+    its whole solve.
+    """
+    n_task, n_rows, k = alpha0.shape
+    kp = _round_up(k, 128)
+    bk = min(block_rows, _round_up(n_rows, 8))
+    rp = _round_up(n_rows, bk)
+    alpha_p = jnp.pad(alpha0, ((0, 0), (0, rp - n_rows), (0, kp - k)),
+                      constant_values=1.0)
+    y_p = jnp.pad(y_cst, ((0, 0), (0, rp - n_rows), (0, kp - k)),
+                  constant_values=-10.0)
+    kernel = partial(
+        _mm_kernel, n_valid=k, iter_mm=iter_mm, tol=tol,
+        check_every=check_every,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_task, rp, kp), jnp.float32),
+        grid=(n_task, rp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bk, kp), lambda t, i: (t, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(alpha_p, y_p)
+    return out[:, :n_rows, :k]
 
 
 @partial(jax.jit, static_argnames=("max_iters", "tol", "newton_iters",
