@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, constrainer, get_one_hot
-from ...ops.dirichlet import dirichlet_log_pdf, update_alpha
+from ...ops.dirichlet import update_alpha
 from ...ops.precision import f32_einsum
 from ..base import FewShotMethod
 
@@ -66,13 +66,21 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
     n_compact = min(n_class, n_query + _COMPACT_MARGIN)
     use_compact = compact and n_class > 2 * n_compact
 
-    def finish_step(u, alpha):
+    def logits_cache(alpha):
+        from jax.scipy.special import gammaln
+
+        l12 = (gammaln(jnp.sum(alpha, axis=-1))
+               - jnp.sum(gammaln(alpha), axis=-1))                # [N, K]
+        l3 = f32_einsum("tnd,tkd->tnk", log_q, alpha - 1.0)       # [N, n, K]
+        return l12, l3
+
+    def finish_step(u, l12, l3):
         v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
-        logits = dirichlet_log_pdf(log_q, alpha)
+        logits = l12[:, None, :] + l3
         u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
         if hard:
             u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-        return u, v
+        return con(u, "dp", None, None), v
 
     def step_full(u, alpha_old):
         u_sum = jnp.sum(u, axis=1)
@@ -81,10 +89,13 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         y_cst = con(y_cst, "dp", None, "tp")
         alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
         alpha = con(alpha, "dp", None, "tp")
-        u, v = finish_step(u, alpha)
-        return con(u, "dp", None, None), v, alpha
+        l12, l3 = logits_cache(alpha)
+        u, v = finish_step(u, l12, l3)
+        return u, v, alpha, l12, l3
 
-    def step_compact(u, alpha_old):
+    def step_compact(u, alpha_old, l12, l3):
+        from jax.scipy.special import gammaln
+
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
         mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
         u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)
@@ -97,8 +108,17 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
         alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
         alpha = con(alpha, "dp", None, "tp")
-        u, v = finish_step(u, alpha)
-        return con(u, "dp", None, None), v, alpha
+        # incremental logits-cache update at the changed rows only (same
+        # trick as the zero-shot path; values identical, ~K/C less work)
+        l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
+                 - jnp.sum(gammaln(alpha_c), axis=-1))
+        l12 = jnp.put_along_axis(l12, idx, l12_c, axis=1, inplace=False)
+        l3_c = f32_einsum("tnd,tcd->tnc", log_q, alpha_c - 1.0)
+        idx_b = jnp.broadcast_to(idx[:, None, :], l3_c.shape)
+        l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=2, inplace=False)
+        l3 = con(l3, "dp", None, None)
+        u, v = finish_step(u, l12, l3)
+        return u, v, alpha, l12, l3
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -108,29 +128,30 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         return jnp.mean(rel), jnp.max(rel)
 
     # iteration 1 always solves all K rows
-    u, v, alpha = step_full(u0, alpha0)
+    u, v, alpha, l12, l3 = step_full(u0, alpha0)
     first_crit, first_max = crit_fn(alpha0, alpha)
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, v, alpha_old, it, crits, _ = carry
+        u, v, alpha_old, l12, l3, it, crits, _ = carry
         if use_compact:
-            u, v, alpha = step_compact(u, alpha_old)
+            u, v, alpha, l12, l3 = step_compact(u, alpha_old, l12, l3)
         else:
-            u, v, alpha = step_full(u, alpha_old)
+            u, v, alpha, l12, l3 = step_full(u, alpha_old)
         crit, crit_max = crit_fn(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, v, alpha, it + 1, crits, crit_max
+        return u, v, alpha, l12, l3, it + 1, crits, crit_max
 
     def cond(carry):
-        _, _, _, it, _, crit_max = carry
+        *_, it, _, crit_max = carry
         not_done = it < n_iter
         if not early_stop:
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, criterions, _ = jax.lax.while_loop(
-        cond, body, (u, v, alpha, jnp.array(1, jnp.int32), crits0, first_max)
+    u, _, _, _, _, _, criterions, _ = jax.lax.while_loop(
+        cond, body,
+        (u, v, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
     )
     return u, criterions
 

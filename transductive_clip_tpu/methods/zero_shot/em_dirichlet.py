@@ -32,13 +32,33 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, constrainer, get_one_hot
-from ...ops.dirichlet import dirichlet_log_pdf, update_alpha, weighted_log_means
+from ...ops.dirichlet import update_alpha, weighted_log_means
 from ...ops.precision import f32_einsum
 from ..base import TransductiveMethod
 
 
 # margin on top of n_query for the compacted cluster count
 _COMPACT_MARGIN = 16
+
+
+def _logits_cache(log_query, alpha):
+    """The three Dirichlet log-density terms, cached so compact iterations
+    can update only the cluster rows that changed (ops/dirichlet.py
+    dirichlet_log_pdf computes the same decomposition full-width)."""
+    from jax.scipy.special import gammaln
+
+    l12 = gammaln(jnp.sum(alpha, axis=-1)) - jnp.sum(gammaln(alpha), axis=-1)
+    l3 = f32_einsum("tnd,tkd->tnk", log_query, alpha - 1.0)       # [N, n, K]
+    return l12, l3
+
+
+def _finish(u, logits_12, logits_3, lambd, n_query, n_class, hard, con):
+    v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
+    logits = logits_12[:, None, :] + logits_3
+    u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
+    if hard:
+        u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
+    return con(u, "dp", None, None), v
 
 
 def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
@@ -49,22 +69,25 @@ def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
     alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
     # keep previous alpha rows for empty clusters (reference: :224-226)
     alpha = con(jnp.where(nonzero, alpha, alpha_old), "dp", None, "tp")
-    v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
-    logits = dirichlet_log_pdf(log_query, alpha)
-    u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
-    if hard:
-        u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-    return con(u, "dp", None, None), v, alpha
+    l12, l3 = _logits_cache(log_query, alpha)
+    u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
+    return u, v, alpha, l12, l3
 
 
-def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
-                     iter_mm, solver, hard, n_compact, con):
+def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
+                     n_class, iter_mm, solver, hard, n_compact, con):
     """EM iteration solving alpha only for the top-``n_compact`` clusters.
 
     The cluster-row gathers/scatters act on alpha's axis 1; the sharded axes
     (tasks over dp, feature axis over tp) are untouched, so no resharding is
-    needed on a mesh.
+    needed on a mesh. The cached Dirichlet log-density terms (l12 [N, K],
+    l3 [N, n, K]) are updated only at the changed rows/columns — at ImageNet
+    scale this replaces a [N, K, K] lgamma pass + a [N, n, K]x[N, K, K]
+    einsum per iteration with their C/K-sized slices (~10x less work,
+    numerically the same values recomputed).
     """
+    from jax.scipy.special import gammaln
+
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
     mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
@@ -79,12 +102,17 @@ def _em_step_compact(u, v, alpha_old, log_query, lambd, n_query, n_class,
     alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
     alpha = con(alpha, "dp", None, "tp")
 
-    v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
-    logits = dirichlet_log_pdf(log_query, alpha)
-    u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
-    if hard:
-        u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-    return con(u, "dp", None, None), v, alpha
+    # incremental logits-cache update at the changed rows only
+    l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
+             - jnp.sum(gammaln(alpha_c), axis=-1))                # [N, C]
+    l12 = jnp.put_along_axis(l12, idx, l12_c, axis=1, inplace=False)
+    l3_c = f32_einsum("tnd,tcd->tnc", log_query, alpha_c - 1.0)   # [N, n, C]
+    idx_b = jnp.broadcast_to(idx[:, None, :], l3_c.shape)
+    l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=2, inplace=False)
+    l3 = con(l3, "dp", None, None)
+
+    u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
+    return u, v, alpha, l12, l3
 
 
 def _criterion(alpha_old, alpha):
@@ -136,7 +164,7 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     # iteration 1 always runs full width: u = raw softmax features touches
     # every cluster
     alpha_old = alpha
-    u, v, alpha = _em_step_full(
+    u, v, alpha, l12, l3 = _em_step_full(
         u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver,
         hard, con,
     )
@@ -144,30 +172,31 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, v, alpha_old, it, crits, _ = carry
+        u, v, alpha_old, l12, l3, it, crits, _ = carry
         if use_compact:
-            u, v, alpha = _em_step_compact(
-                u, v, alpha_old, log_query, lambd, n_query, n_class,
-                iter_mm, solver, hard, n_compact, con,
+            u, v, alpha, l12, l3 = _em_step_compact(
+                u, v, alpha_old, l12, l3, log_query, lambd, n_query,
+                n_class, iter_mm, solver, hard, n_compact, con,
             )
         else:
-            u, v, alpha = _em_step_full(
+            u, v, alpha, l12, l3 = _em_step_full(
                 u, v, alpha_old, log_query, lambd, n_query, n_class,
                 iter_mm, solver, hard, con,
             )
         crit, crit_max = _criterion(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, v, alpha, it + 1, crits, crit_max
+        return u, v, alpha, l12, l3, it + 1, crits, crit_max
 
     def cond(carry):
-        _, _, _, it, _, crit_max = carry
+        *_, it, _, crit_max = carry
         not_done = it < n_iter
         if not early_stop:
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, criterions, _ = jax.lax.while_loop(
-        cond, body, (u, v, alpha, jnp.array(1, jnp.int32), crits0, first_max)
+    u, _, _, _, _, _, criterions, _ = jax.lax.while_loop(
+        cond, body,
+        (u, v, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
     )
     return u, criterions
 
