@@ -109,7 +109,7 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
     u = jnp.asarray(u)
     query = jnp.asarray(query, jnp.float32)
     use_softmax = bool(cfg.use_softmax_feature)
-    R = min(n_class, u.shape[1])
+    R = min(n_class, u.shape[1], u.shape[2])
     tf = (jnp.zeros((1, query.shape[2]), jnp.float32) if use_softmax
           else jnp.asarray(text_features, jnp.float32))
     preds_d, idx_d, probs_d, present_d = _proto_rows_device(

@@ -17,8 +17,8 @@ from ..base import TransductiveMethod, init_soft_assignments
 from .soft_kmeans import weighted_centroids
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def em_gaussian_infer(query, u0, T, lambd, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "impl"))
+def em_gaussian_infer(query, u0, T, lambd, n_iter: int, impl: str = "matmul"):
     n_task, n_query, n_class = u0.shape
     w0 = weighted_centroids(u0, query)
     v0 = jnp.zeros((n_task, n_class), jnp.float32)
@@ -26,7 +26,7 @@ def em_gaussian_infer(query, u0, T, lambd, n_iter: int):
     def step(carry, _):
         u, v, w = carry
         w = weighted_centroids(u, query, w_prev=w)
-        logits = -0.5 * sq_euclidean(query, w)
+        logits = -0.5 * sq_euclidean(query, w, impl=impl)
         u_new = jax.nn.softmax(
             T * logits + lambd * v[:, None, :] / n_query, axis=2
         )
@@ -57,4 +57,5 @@ class EM_GAUSSIAN(TransductiveMethod):
             jnp.float32(self.args.T),
             jnp.float32(self.lambd),
             n_iter=int(self.args.iter),
+            impl=str(self.args.get("distance_impl", "matmul")),
         )

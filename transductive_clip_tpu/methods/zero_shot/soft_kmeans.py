@@ -31,8 +31,8 @@ def weighted_centroids(u, x, w_prev=None, eps: float = EPS):
     return jnp.where(nonzero, w, w_prev)
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def soft_kmeans_infer(query, u0, T, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "impl"))
+def soft_kmeans_infer(query, u0, T, n_iter: int, impl: str = "matmul"):
     """Returns (u [N, n, K], criterions [n_iter])."""
 
     w0 = weighted_centroids(u0, query)
@@ -40,7 +40,7 @@ def soft_kmeans_infer(query, u0, T, n_iter: int):
     def step(carry, _):
         u, w = carry
         w = weighted_centroids(u, query, w_prev=w)
-        logits = -0.5 * sq_euclidean(query, w)
+        logits = -0.5 * sq_euclidean(query, w, impl=impl)
         u_new = jax.nn.softmax(T * logits, axis=2)
         crit = jnp.mean(
             jnp.linalg.norm((u_new - u).reshape(u.shape[0], -1), axis=-1)
@@ -58,5 +58,7 @@ class SOFT_KMEANS(TransductiveMethod):
         self._log(f" ==> Executing SOFT K-MEANS with T = {self.args.T}")
         u0 = init_soft_assignments(task["x_q"], self.args, task.get("text_features"))
         return soft_kmeans_infer(
-            task["x_q"], u0, jnp.float32(self.args.T), n_iter=int(self.args.iter)
+            task["x_q"], u0, jnp.float32(self.args.T),
+            n_iter=int(self.args.iter),
+            impl=str(self.args.get("distance_impl", "matmul")),
         )

@@ -14,11 +14,22 @@ from .common import EPS
 from .precision import f32_einsum
 
 
-def sq_euclidean(x, w):
+def sq_euclidean(x, w, impl: str = "matmul"):
     """Pairwise squared euclidean distance.
 
     x: [..., n, d], w: [..., k, d] -> [..., n, k]
+
+    ``impl='matmul'`` (default) uses the MXU expansion; for nearly-equal
+    points the expansion cancels catastrophically in fp32 (relative error on
+    tiny distances ~1e-2 after the T=30 temperature), which can flip
+    borderline assignments vs the reference over many EM iterations.
+    ``impl='direct'`` materializes the broadcast-subtract exactly like the
+    reference (soft_kmeans.py:112-114) — reference-exact numerics, rank-4
+    temporary; use for parity runs at small K (``distance_impl`` config).
     """
+    if impl == "direct":
+        diff = x[..., :, None, :] - w[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]
     w2 = jnp.sum(w * w, axis=-1)[..., None, :]
     xw = f32_einsum("...nd,...kd->...nk", x, w)
