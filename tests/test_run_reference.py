@@ -150,18 +150,22 @@ def test_zero_shot_matches_reference(reference, tmp_path, config_name,
 
 
 FS_CASES = [
-    ("em_dirichlet", "em_dirichlet", "EM_DIRICHLET", 1e-6),
-    ("hard_em_dirichlet", "hard_em_dirichlet", "HARD_EM_DIRICHLET", 1e-6),
-    ("paddle", "paddle", "PADDLE", 1e-6),
-    ("bdcspn", "bdcspn", "BDCSPN", 1e-6),
-    ("laplacian_shot", "laplacian_shot", "LAPLACIAN_SHOT", 1e-6),
-    ("alpha_tim", "tim", "ALPHA_TIM", 0.02),
+    ("em_dirichlet", "em_dirichlet", "EM_DIRICHLET", 1e-6, {}),
+    ("hard_em_dirichlet", "hard_em_dirichlet", "HARD_EM_DIRICHLET", 1e-6, {}),
+    ("paddle", "paddle", "PADDLE", 1e-6, {}),
+    ("bdcspn", "bdcspn", "BDCSPN", 1e-6, {}),
+    ("laplacian_shot", "laplacian_shot", "LAPLACIAN_SHOT", 1e-6, {}),
+    ("alpha_tim", "tim", "ALPHA_TIM", 0.02, {}),
+    # bf16-MXU fast path: must stay accuracy-equivalent to the reference
+    ("alpha_tim", "tim", "ALPHA_TIM", 0.02,
+     {"tim_matmul_precision": "default"}),
 ]
 
 
-@pytest.mark.parametrize("config_name,ref_module,ref_class,acc_tol", FS_CASES)
+@pytest.mark.parametrize("config_name,ref_module,ref_class,acc_tol,extra",
+                         FS_CASES)
 def test_few_shot_matches_reference(reference, tmp_path, config_name,
-                                    ref_module, ref_class, acc_tol):
+                                    ref_module, ref_class, acc_tol, extra):
     shots = 2
     rng = np.random.default_rng(1)
     xs, ys, xq, yq = make_few_shot_tasks(
@@ -171,6 +175,8 @@ def test_few_shot_matches_reference(reference, tmp_path, config_name,
     cfg = make_cfg(config_name, shots, tmp_path,
                    num_classes_test=K, n_query=N_QUERY, k_eff=4,
                    batch_size=N_TASK)
+    for k_, v_ in extra.items():
+        cfg[k_] = v_
 
     ours = get_few_shot_method(cfg.name_method, args=cfg).run_task(
         {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=shots)

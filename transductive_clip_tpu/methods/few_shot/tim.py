@@ -26,9 +26,19 @@ from ...ops.precision import f32_einsum
 _EPS = 1e-12
 
 
-def _tim_logits(weights, samples, temp):
-    """temp * (x.w - ||w||^2/2 - ||x||^2/2) (reference: tim.py:99-113)."""
-    xw = f32_einsum("tnd,tkd->tnk", samples, weights)
+def _tim_logits(weights, samples, temp, precision: str = "highest"):
+    """temp * (x.w - ||w||^2/2 - ||x||^2/2) (reference: tim.py:99-113).
+
+    ``precision='highest'`` (default) reproduces fp32 matmuls like the
+    reference; ``'default'`` lets the MXU run bf16 operands with fp32
+    accumulation — the Adam loop is a 1000-step contraction-bound scan, so
+    this is the whole method's throughput knob (``tim_matmul_precision``
+    config; accuracy equivalence vs the reference is tested).
+    """
+    if precision == "highest":
+        xw = f32_einsum("tnd,tkd->tnk", samples, weights)
+    else:
+        xw = jnp.einsum("tnd,tkd->tnk", samples, weights)
     w2 = 0.5 * jnp.sum(weights * weights, axis=-1)[:, None, :]
     x2 = 0.5 * jnp.sum(samples * samples, axis=-1)[:, :, None]
     return temp * (xw - w2 - x2)
@@ -61,9 +71,11 @@ def _conditional_entropy(q_probs, kind: str, alpha_value):
             / (alpha_value - 1.0)).mean(axis=1).sum(axis=0)
 
 
-@partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr"))
+@partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr",
+                                   "precision"))
 def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
-              n_iter: int, n_class: int, entropies: tuple, lr: float):
+              n_iter: int, n_class: int, entropies: tuple, lr: float,
+              precision: str = "highest"):
     """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter])."""
     y_one_hot = get_one_hot(y_s, n_class)
     w0 = support_class_means(support, y_s, n_class)
@@ -71,8 +83,8 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     opt_state0 = opt.init(w0)
 
     def loss_fn(weights):
-        logits_s = _tim_logits(weights, support, temp)
-        logits_q = _tim_logits(weights, query, temp)
+        logits_s = _tim_logits(weights, support, temp, precision)
+        logits_q = _tim_logits(weights, query, temp, precision)
         probs_s = jax.nn.softmax(logits_s, axis=2)
         q_probs = jax.nn.softmax(logits_q, axis=2)
         ce = _cross_entropy(y_one_hot, probs_s, entropies[0], alpha_value)
@@ -85,7 +97,7 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         return loss, logits_q
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    logits_q0 = _tim_logits(w0, query, temp)
+    logits_q0 = _tim_logits(w0, query, temp, precision)
 
     def step(carry, _):
         weights, opt_state, _ = carry
@@ -121,6 +133,7 @@ class ALPHA_TIM(FewShotMethod):
             n_class=int(args.num_classes_test),
             entropies=tuple(args.entropies),
             lr=float(args.lr_alpha_tim),
+            precision=str(args.get("tim_matmul_precision", "highest")),
         )
 
 
@@ -141,4 +154,5 @@ class TIM_GD(FewShotMethod):
             n_class=int(args.num_classes_test),
             entropies=("Shannon", "Shannon", "Shannon"),
             lr=float(args.lr_tim),
+            precision=str(args.get("tim_matmul_precision", "highest")),
         )
