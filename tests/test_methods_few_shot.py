@@ -118,3 +118,38 @@ def test_laplacian_shot_cl2n(rng):
     method = get_few_shot_method("LAPLACIAN_SHOT", args=cfg)
     logs = method.run_task({"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=2)
     assert logs["acc"][:, -1].mean() > 0.9
+
+
+def test_tim_gather_ce_equals_onehot_ce(rng):
+    """tim_ce_impl='gather' must reproduce the reference-shaped one-hot CE
+    trajectory (identical equations for one-hot labels)."""
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+    import jax.numpy as jnp
+
+    xs, ys, xq, yq = make_few_shot_tasks(rng, 3, n_query=20, n_class=6,
+                                         shots=2, k_eff=3)
+    out = {}
+    for impl in ("gather", "onehot"):
+        u, crit = tim_infer(
+            jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32),
+            jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+            n_iter=50, n_class=6, entropies=("Shannon", "Alpha", "Alpha"),
+            lr=1e-3, ce_impl=impl,
+        )
+        out[impl] = (np.asarray(u), np.asarray(crit))
+    np.testing.assert_allclose(out["gather"][0], out["onehot"][0],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["gather"][1], out["onehot"][1],
+                               rtol=1e-3, atol=1e-7)
+    # alpha CE also for the Alpha-CE branch
+    for impl in ("gather", "onehot"):
+        u, _ = tim_infer(
+            jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32),
+            jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+            n_iter=25, n_class=6, entropies=("Alpha", "Alpha", "Alpha"),
+            lr=1e-3, ce_impl=impl,
+        )
+        out[impl] = np.asarray(u)
+    np.testing.assert_allclose(out["gather"], out["onehot"],
+                               rtol=1e-4, atol=1e-5)
