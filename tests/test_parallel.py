@@ -148,3 +148,26 @@ def test_batch_dp_image_encoding_matches_single_device():
     # non-divisible batch falls back to unsharded, same values
     ref_odd = np.asarray(model.encode_image_batch(imgs[:3]))
     assert np.isfinite(ref_odd).all()
+
+
+def test_tim_on_mesh_matches_single_device():
+    """alpha-TIM with (dp, tp)-sharded weights/Adam state matches the
+    single-device trajectory (TP is the memory-bound method's scaling axis)."""
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+
+    rng = np.random.default_rng(2)
+    xs, ys, xq, yq = make_few_shot_tasks(rng, 8, n_query=16, n_class=8,
+                                         shots=2, k_eff=4)
+    args = (jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32),
+            jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32))
+    kw = dict(n_iter=40, n_class=8, entropies=("Shannon", "Alpha", "Alpha"),
+              lr=1e-3)
+    u_ref, crit_ref = tim_infer(*args, **kw)
+    for tp in (1, 2):
+        mesh = make_mesh(n_devices=8, tp=tp)
+        u, crit = tim_infer(*args, mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(crit), np.asarray(crit_ref),
+                                   rtol=2e-3, atol=1e-6)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ...ops.common import get_one_hot
+from ...ops.common import constrainer, get_one_hot
 from ..base import FewShotMethod
 from .paddle import support_class_means
 from ...ops.precision import f32_einsum
@@ -94,15 +94,35 @@ def _conditional_entropy(q_probs, kind: str, alpha_value):
 
 
 @partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr",
-                                   "precision", "ce_impl"))
+                                   "precision", "ce_impl", "mesh"))
 def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
               n_iter: int, n_class: int, entropies: tuple, lr: float,
-              precision: str = "highest", ce_impl: str = "gather"):
-    """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter])."""
+              precision: str = "highest", ce_impl: str = "gather",
+              mesh=None):
+    """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter]).
+
+    ``mesh``: optional (dp, tp) mesh — tasks shard over dp; the class
+    weights' feature axis (and the Adam moments with it) shards over tp, so
+    the per-chip optimizer state is N/dp * K * d/tp and the logits
+    contraction psums over ICI. This is the memory-bound method of the
+    suite (autodiff residuals over [N, n_class*shots, K] support logits);
+    TP is how batches that exceed one chip's HBM run.
+    """
+    con = constrainer(mesh)
+
+    def con_w(tree):
+        return jax.tree.map(
+            lambda t: con(t, "dp", None, "tp") if getattr(t, "ndim", 0) == 3
+            else t,
+            tree,
+        )
+
+    support = con(support, "dp", None, None)
+    query = con(query, "dp", None, None)
     y_one_hot = get_one_hot(y_s, n_class) if ce_impl == "onehot" else None
-    w0 = support_class_means(support, y_s, n_class)
+    w0 = con_w(support_class_means(support, y_s, n_class))
     opt = optax.adam(lr)
-    opt_state0 = opt.init(w0)
+    opt_state0 = con_w(opt.init(w0))
 
     def loss_fn(weights):
         logits_s = _tim_logits(weights, support, temp, precision)
@@ -127,8 +147,9 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     def step(carry, _):
         weights, opt_state, _ = carry
         (_, logits_q), grads = grad_fn(weights)
-        updates, opt_state = opt.update(grads, opt_state)
-        new_weights = optax.apply_updates(weights, updates)
+        updates, opt_state = opt.update(con_w(grads), opt_state)
+        new_weights = con_w(optax.apply_updates(weights, updates))
+        opt_state = con_w(opt_state)
         crit = jnp.mean(jnp.linalg.norm(weights - new_weights, axis=-1))
         return (new_weights, opt_state, logits_q), crit
 
@@ -160,6 +181,7 @@ class ALPHA_TIM(FewShotMethod):
             lr=float(args.lr_alpha_tim),
             precision=str(args.get("tim_matmul_precision", "highest")),
             ce_impl=str(args.get("tim_ce_impl", "gather")),
+            mesh=self.mesh,
         )
 
 
@@ -182,4 +204,5 @@ class TIM_GD(FewShotMethod):
             lr=float(args.lr_tim),
             precision=str(args.get("tim_matmul_precision", "highest")),
             ce_impl=str(args.get("tim_ce_impl", "gather")),
+            mesh=self.mesh,
         )
