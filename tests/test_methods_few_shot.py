@@ -153,3 +153,46 @@ def test_tim_gather_ce_equals_onehot_ce(rng):
         out[impl] = np.asarray(u)
     np.testing.assert_allclose(out["gather"], out["onehot"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_task_chunking_is_exact(rng):
+    """task_chunk splits the independent task axis; results must be
+    identical to the unchunked run (zero- and few-shot)."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import (
+        get_few_shot_method, get_zero_shot_method,
+    )
+    from transductive_clip_tpu.utils.synthetic import (
+        make_few_shot_tasks, make_zero_shot_tasks,
+    )
+
+    xs, ys, xq, yq = make_few_shot_tasks(rng, 6, n_query=20, n_class=6,
+                                         shots=2, k_eff=3)
+    base = dict(num_classes_test=6, n_class=6, n_query=20, k_eff=3, T=30,
+                use_softmax_feature=True, graph_matching=False, iter=30,
+                alpha_value=5.0, lr_alpha_tim=1e-3, temp=15.0,
+                loss_weights=[1.0, 1.0, 1.0],
+                entropies=["Shannon", "Alpha", "Alpha"])
+    task = {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}
+    ref = get_few_shot_method(
+        "ALPHA_TIM", args=CfgNode(dict(base))).run_task(task, shot=2)
+    chunked = get_few_shot_method(
+        "ALPHA_TIM", args=CfgNode(dict(base, task_chunk=2))).run_task(task, shot=2)
+    np.testing.assert_allclose(chunked["acc"], ref["acc"], atol=1e-6)
+    np.testing.assert_allclose(chunked["preds"], ref["preds"])
+
+    x, y = make_zero_shot_tasks(rng, 6, 20, 6, k_eff=3)
+    zbase = dict(base, iter=8, iter_mm=100, dirichlet_solver="minka",
+                 compact_clusters=False, early_stop=False)
+    ref = get_zero_shot_method(
+        "EM_DIRICHLET", args=CfgNode(dict(zbase))).run_task({"x_q": x, "y_q": y})
+    chunked = get_zero_shot_method(
+        "EM_DIRICHLET", args=CfgNode(dict(zbase, task_chunk=3))).run_task(
+        {"x_q": x, "y_q": y})
+    np.testing.assert_allclose(chunked["acc"], ref["acc"], atol=1e-6)
+    np.testing.assert_allclose(chunked["preds"], ref["preds"])
+    # non-divisible chunk falls back to unchunked, same results
+    odd = get_zero_shot_method(
+        "EM_DIRICHLET", args=CfgNode(dict(zbase, task_chunk=4))).run_task(
+        {"x_q": x, "y_q": y})
+    np.testing.assert_allclose(odd["acc"], ref["acc"], atol=1e-6)

@@ -271,6 +271,36 @@ class TransductiveMethod:
         """Run the jitted method. Returns (u, criterions [iter] or [iter, ...])."""
         raise NotImplementedError
 
+    def _infer_chunked(self, task):
+        """Run ``_infer``, splitting the (independent) task axis into
+        ``task_chunk``-sized slices when configured — exact, since tasks
+        never interact; lets memory-bound methods (alpha-TIM's autodiff
+        residuals at ImageNet scale) run protocol-sized batches on one
+        chip. criterion traces are averaged across chunks."""
+        chunk = int(self.args.get("task_chunk", 0) or 0)
+        n_task = task["x_q"].shape[0]
+        if chunk <= 0 or n_task <= chunk or n_task % chunk != 0:
+            if chunk > 0 and n_task % chunk != 0:
+                self._log(
+                    f"task_chunk={chunk} does not divide n_task={n_task}; "
+                    "running unchunked"
+                )
+            return self._infer(task)
+        sliced_keys = [
+            k for k, v in task.items()
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n_task
+            and k != "text_features"
+        ]
+        us, crits = [], []
+        for s in range(0, n_task, chunk):
+            sub = dict(task)
+            for k in sliced_keys:
+                sub[k] = task[k][s:s + chunk]
+            u, crit = self._infer(sub)
+            us.append(u)
+            crits.append(np.asarray(crit))
+        return np.concatenate([np.asarray(u) for u in us]), np.mean(crits, axis=0)
+
     # -- helpers ----------------------------------------------------------
     def _log(self, msg):
         if self.logger is not None:
@@ -293,7 +323,7 @@ class TransductiveMethod:
         task["text_features"] = text_features
 
         t0 = time.perf_counter()
-        u, criterions = self._infer(task)
+        u, criterions = self._infer_chunked(task)
         u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
@@ -342,7 +372,7 @@ class FewShotMethod(TransductiveMethod):
         }
 
         t0 = time.perf_counter()
-        u, criterions = self._infer(task)
+        u, criterions = self._infer_chunked(task)
         u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
