@@ -172,12 +172,22 @@ def _clustering_accuracy_host(u, query, y_q, cfg, text_features=None):
     return acc.astype(np.float32), new_preds
 
 
+@jax.jit
+def _max_populated_clusters(u, eps=EPS):
+    return jnp.max(jnp.sum(jnp.sum(u, axis=1) > eps, axis=-1))
+
+
 def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
     """Post-hoc guard for cluster compaction: if more clusters carry mass in
     the final assignments than the compacted solver re-solves, the
-    approximation may have engaged; advise the exact path."""
-    u_sum = np.asarray(u).sum(axis=1)
-    populated = int((u_sum > eps).sum(axis=-1).max())
+    approximation may have engaged; advise the exact path. The count reduces
+    on device — only a scalar crosses to the host (u is ~30 MB at ImageNet
+    scale and the transfer link may be slow)."""
+    if hasattr(u, "devices"):
+        populated = int(_max_populated_clusters(u))
+    else:
+        u_sum = np.asarray(u).sum(axis=1)
+        populated = int((u_sum > eps).sum(axis=-1).max())
     if populated > n_compact:
         msg = (
             f"cluster compaction solved {n_compact} rows but {populated} "
