@@ -135,3 +135,33 @@ def test_zero_shot_visual_features_end_to_end(cfg_base, rng):
     ev = EvaluatorZeroShot(args=cfg)
     acc, _ = ev.run_full_evaluation()   # model=None: everything from caches
     assert acc > 0.9
+
+
+def test_device_gather_matches_host_path(cfg_base, rng):
+    """Device-resident gather + constant-flip remap must reproduce the host
+    generator path exactly (same seed -> same tasks -> same accuracy)."""
+    feats_q, labels_q = synth_features(rng)
+    feats_s, labels_s = synth_features(rng)
+
+    def zs(dg):
+        cfg = cfg_base(dataset="eurosat", method="hard_em_dirichlet", shots=0,
+                       number_tasks=4, batch_size=2, n_query=30, seed=7,
+                       iter=6, iter_mm=100)
+        cfg.device_gather = dg
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_dev, _ = zs(True)
+    acc_host, _ = zs(False)
+    assert abs(acc_dev - acc_host) < 1e-6
+
+    def fs(dg):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=2,
+                       number_tasks=4, batch_size=2, n_query=30, seed=7,
+                       iter=6, iter_mm=100, tunable=False)
+        cfg.device_gather = dg
+        return EvaluatorFewShot(args=cfg).evaluate_tasks(
+            feats_s, labels_s, feats_q, labels_q)
+
+    acc_dev, _ = fs(True)
+    acc_host, _ = fs(False)
+    assert abs(acc_dev - acc_host) < 1e-6

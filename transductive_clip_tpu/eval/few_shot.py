@@ -150,6 +150,26 @@ class EvaluatorFewShot:
         if mesh is not None:
             method.set_mesh(mesh)
 
+        # device-resident feature tables + on-device gather/remap: the
+        # support table is n_class*shots*d per task (1.6 GB/batch at the
+        # ImageNet protocol) — only int32 indices cross the link per batch.
+        # The flipped-unique label remap is the constant flip
+        # label -> n_class-1-label (support covers every class), and the
+        # softmax column permutation is a reversed slice — both exact
+        # (tests assert equality with the host generator path).
+        device_gather = bool(args.get("device_gather", True)) and (
+            len(np.unique(np.asarray(support_labels))) == int(args.n_class)
+        )
+        if device_gather:
+            import jax.numpy as jnp
+
+            from .zero_shot import _device_gather
+
+            feats_s_dev = jnp.asarray(np.asarray(support_features, np.float32))
+            feats_q_dev = jnp.asarray(np.asarray(query_features, np.float32))
+            labels_s_np = np.asarray(support_labels)
+            labels_q_np = np.asarray(query_labels)
+
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
         with trace_if_requested(args.get("profile_dir")):
@@ -159,19 +179,37 @@ class EvaluatorFewShot:
                     args.n_query, force_query_size=True, rng=rng,
                 )
                 sampler.create_list_classes(support_labels, query_labels)
-                loader_query = [
-                    (query_features[idx], query_labels[idx])
-                    for idx in SamplerQueryFewShot(sampler)
-                ]
-                loader_support = [
-                    (support_features[idx], support_labels[idx])
-                    for idx in SamplerSupportFewShot(sampler)
-                ]
-                tasks = TasksGeneratorFewShot(
-                    k_eff=args.k_eff, shot=args.shots, n_query=args.n_query,
-                    n_class=args.n_class, loader_support=loader_support,
-                    loader_query=loader_query, args=args,
-                ).generate_tasks()
+                if device_gather:
+                    # keep the reference's draw order: query first, then
+                    # support (matches the host loader construction below)
+                    idx_q = np.stack(list(SamplerQueryFewShot(sampler)))
+                    idx_s = np.stack(list(SamplerSupportFewShot(sampler)))
+                    x_s = _device_gather(feats_s_dev, idx_s)
+                    x_q = _device_gather(feats_q_dev, idx_q)
+                    y_s = labels_s_np[idx_s]
+                    y_q = labels_q_np[idx_q]
+                    if args.use_softmax_feature:
+                        x_s, x_q = x_s[..., ::-1], x_q[..., ::-1]
+                        y_s = int(args.n_class) - 1 - y_s
+                        y_q = int(args.n_class) - 1 - y_q
+                    tasks = {
+                        "x_s": x_s, "y_s": y_s[..., None],
+                        "x_q": x_q, "y_q": y_q[..., None],
+                    }
+                else:
+                    loader_query = [
+                        (query_features[idx], query_labels[idx])
+                        for idx in SamplerQueryFewShot(sampler)
+                    ]
+                    loader_support = [
+                        (support_features[idx], support_labels[idx])
+                        for idx in SamplerSupportFewShot(sampler)
+                    ]
+                    tasks = TasksGeneratorFewShot(
+                        k_eff=args.k_eff, shot=args.shots, n_query=args.n_query,
+                        n_class=args.n_class, loader_support=loader_support,
+                        loader_query=loader_query, args=args,
+                    ).generate_tasks()
                 if text_features is not None:
                     tasks["text_features"] = text_features
                 if mesh is not None:

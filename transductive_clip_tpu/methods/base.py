@@ -226,8 +226,14 @@ def device_matching(preds, one_hot, probs):
 
 
 def direct_accuracy(u, y_q):
-    """Plain argmax accuracy (few-shot path; reference: few_shot/em_dirichlet.py:50-58)."""
-    preds = np.asarray(u).argmax(axis=2)
+    """Plain argmax accuracy (few-shot path; reference: few_shot/em_dirichlet.py:50-58).
+
+    The argmax reduces on device when u lives there — only [N, n] int
+    predictions cross to the host instead of the [N, n, K] assignments."""
+    if hasattr(u, "devices"):
+        preds = np.asarray(jnp.argmax(u, axis=2))
+    else:
+        preds = np.asarray(u).argmax(axis=2)
     acc = (preds == np.asarray(y_q)).mean(axis=1, keepdims=True)
     return acc.astype(np.float32), preds
 
