@@ -44,13 +44,25 @@ class SamplerSupportFewShot:
 
     def __iter__(self):
         s = self.s
-        for _ in range(s.n_batch):
-            support = []
-            for c in range(s.n_class):
-                pool = s.m_ind_support[c]
-                pos = s.rng.permutation(len(pool))[: s.s_shot]
-                support.append(pool[pos])
-            yield np.concatenate(support)
+        # vectorized uniform without-replacement draws: one random matrix +
+        # argpartition per class covers all tasks at once (the reference
+        # does n_batch * n_class separate permutations — 1e5 Python calls
+        # per ImageNet batch, ~2 s of host time vs the method's 0.7 s of
+        # device time). Same distribution: the s_shot smallest of iid
+        # uniforms index a uniform subset; class-major row layout kept.
+        per_class = []
+        for c in range(s.n_class):
+            pool = s.m_ind_support[c]
+            take = min(s.s_shot, len(pool))
+            r = s.rng.random((s.n_batch, len(pool)))
+            if take < len(pool):
+                picks = np.argpartition(r, take - 1, axis=1)[:, :take]
+            else:
+                picks = np.argsort(r, axis=1)
+            per_class.append(pool[picks])              # [n_batch, take]
+        stacked = np.concatenate(per_class, axis=1)    # [n_batch, K*shots]
+        for t in range(s.n_batch):
+            yield stacked[t]
 
 
 class SamplerQueryFewShot:
