@@ -196,3 +196,44 @@ def test_task_chunking_is_exact(rng):
         "EM_DIRICHLET", args=CfgNode(dict(zbase, task_chunk=4))).run_task(
         {"x_q": x, "y_q": y})
     np.testing.assert_allclose(odd["acc"], ref["acc"], atol=1e-6)
+
+
+def test_tim_gather_ce_saturated_matches_onehot(rng):
+    """Deeply saturated support logits with alpha>1: the gather CE must
+    reproduce the reference's epsilon-capped values instead of overflowing
+    exp((alpha-1)|log p|) (code-review finding)."""
+    import jax.numpy as jnp
+    from transductive_clip_tpu.methods.few_shot.tim import (
+        _cross_entropy, _cross_entropy_gather,
+    )
+    from transductive_clip_tpu.ops.common import get_one_hot
+
+    # logit gaps of ~300: p_label underflows to exactly 0 in fp32
+    logits = jnp.asarray(rng.normal(size=(2, 5, 4)) * 100.0, jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, (2, 5)), jnp.int32)
+    y_one_hot = get_one_hot(y, 4)
+    probs = jnp.exp(logits - jnp.max(logits, -1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    for kind, alpha in [("Shannon", 1.0), ("Alpha", 2.0), ("Alpha", 7.0)]:
+        ref = float(_cross_entropy(y_one_hot, probs, kind, alpha))
+        got = float(_cross_entropy_gather(y, logits, kind, alpha))
+        assert np.isfinite(got) == np.isfinite(ref)
+        if np.isfinite(ref):
+            np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_support_draw_per_task_reference_order(rng):
+    """support_draw='per_task' reproduces the reference's draw order; both
+    impls keep the class-major layout and per-class shot counts."""
+    from transductive_clip_tpu.tasks import (
+        CategoriesSamplerFewShot, SamplerSupportFewShot,
+    )
+
+    labels = np.repeat(np.arange(6), 10)
+    for impl in ("vectorized", "per_task"):
+        s = CategoriesSamplerFewShot(4, 3, 6, 2, 10, rng=np.random.default_rng(0),
+                                     support_draw=impl)
+        s.create_list_classes(labels, labels)
+        for idx in SamplerSupportFewShot(s):
+            assert (labels[idx] == np.repeat(np.arange(6), 2)).all()
+            assert len(set(idx.tolist())) == 12

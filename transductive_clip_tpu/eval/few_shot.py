@@ -177,6 +177,7 @@ class EvaluatorFewShot:
                 sampler = CategoriesSamplerFewShot(
                     args.batch_size, args.k_eff, args.n_class, args.shots,
                     args.n_query, force_query_size=True, rng=rng,
+                    support_draw=str(args.get("support_draw", "vectorized")),
                 )
                 sampler.create_list_classes(support_labels, query_labels)
                 if device_gather:

@@ -121,10 +121,18 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
         if _matching_backend(cfg) == "device":
             from ..ops.auction import auction_assign
 
-            cols = auction_assign(probs_d * present_d[..., None])
-            new_preds = scatter_matching_rows(
-                preds, np.asarray(idx_d), np.asarray(cols), n_class
-            )
+            cols = np.asarray(auction_assign(probs_d * present_d[..., None]))
+            if (cols < 0).any():
+                # auction hit its iteration budget with unassigned rows
+                # (pathological tie structure); fall back to the exact host
+                # solver rather than emitting -1 labels
+                new_preds = hungarian_matching_rows(
+                    preds, np.asarray(idx_d), np.asarray(probs_d), n_class
+                )
+            else:
+                new_preds = scatter_matching_rows(
+                    preds, np.asarray(idx_d), cols, n_class
+                )
         else:
             new_preds = hungarian_matching_rows(
                 preds, np.asarray(idx_d), np.asarray(probs_d), n_class
@@ -220,6 +228,9 @@ def device_matching(preds, one_hot, probs):
     present = np.take_along_axis(counts, idx, axis=1) > 0
     vals = vals * present[..., None]
     cols = np.asarray(auction_assign(jnp.asarray(vals, jnp.float32)))
+    if (cols < 0).any():
+        # iteration budget exhausted: fall back to the exact host solver
+        return hungarian_matching(preds, probs)
     lut = np.zeros((n_task, n_class), preds.dtype)
     np.put_along_axis(lut, idx, cols.astype(preds.dtype), axis=1)
     return np.take_along_axis(lut, preds, axis=1)
@@ -249,6 +260,13 @@ def timing_logs(elapsed, n_task, n_iter):
     EM loop here runs inside one compiled program (no host clock per
     iteration), so ``timestamps_cumulative``/``timestamps_ref`` synthesize
     the reference's Table-2 semantics under uniform per-iteration cost.
+
+    Caveat: ``n_iter`` is the configured schedule length (criterion traces
+    are padded to it), so with early stopping the synthesized factor
+    (n+1)/(2n) uses the configured n, not the executed count — the metric
+    is exact only in reference-exact mode, where all n iterations always
+    run (documented in PARITY.md). ``timestamps`` (the true total) is
+    always exact.
     """
     per_task = elapsed / n_task
     n = max(int(n_iter), 1)

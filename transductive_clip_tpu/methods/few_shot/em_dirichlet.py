@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, constrainer, get_one_hot
-from ...ops.dirichlet import update_alpha
+from ...ops.dirichlet import (
+    dirichlet_logits_cache,
+    update_alpha,
+    update_logits_cache_rows,
+)
 from ...ops.precision import f32_einsum
 from ..base import FewShotMethod
 
@@ -66,14 +70,6 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
     n_compact = min(n_class, n_query + _COMPACT_MARGIN)
     use_compact = compact and n_class > 2 * n_compact
 
-    def logits_cache(alpha):
-        from jax.scipy.special import gammaln
-
-        l12 = (gammaln(jnp.sum(alpha, axis=-1))
-               - jnp.sum(gammaln(alpha), axis=-1))                # [N, K]
-        l3 = f32_einsum("tnd,tkd->tnk", log_q, alpha - 1.0)       # [N, n, K]
-        return l12, l3
-
     def finish_step(u, l12, l3):
         v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
         logits = l12[:, None, :] + l3
@@ -89,13 +85,11 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         y_cst = con(y_cst, "dp", None, "tp")
         alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
         alpha = con(alpha, "dp", None, "tp")
-        l12, l3 = logits_cache(alpha)
+        l12, l3 = dirichlet_logits_cache(log_q, alpha)
         u, v = finish_step(u, l12, l3)
         return u, v, alpha, l12, l3
 
     def step_compact(u, alpha_old, l12, l3):
-        from jax.scipy.special import gammaln
-
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
         mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
         u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)
@@ -110,12 +104,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         alpha = con(alpha, "dp", None, "tp")
         # incremental logits-cache update at the changed rows only (same
         # trick as the zero-shot path; values identical, ~K/C less work)
-        l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
-                 - jnp.sum(gammaln(alpha_c), axis=-1))
-        l12 = jnp.put_along_axis(l12, idx, l12_c, axis=1, inplace=False)
-        l3_c = f32_einsum("tnd,tcd->tnc", log_q, alpha_c - 1.0)
-        idx_b = jnp.broadcast_to(idx[:, None, :], l3_c.shape)
-        l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=2, inplace=False)
+        l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q)
         l3 = con(l3, "dp", None, None)
         u, v = finish_step(u, l12, l3)
         return u, v, alpha, l12, l3

@@ -65,11 +65,16 @@ def _cross_entropy_gather(y_s, logits_s, kind: str, alpha_value):
     per-step HBM residency (``tim_ce_impl: 'onehot'`` keeps the
     reference-shaped computation).
     """
+    import math
+
     lse = jax.nn.logsumexp(logits_s, axis=-1)                    # [N, s]
     l_lab = jnp.take_along_axis(
         logits_s, y_s[..., None], axis=-1
     )[..., 0]
-    log_p = l_lab - lse
+    # log(p_label + eps) exactly, matching the reference's epsilon semantics
+    # (log(p+eps) caps the loss at -log(eps) for saturated samples instead
+    # of overflowing exp((alpha-1)*|log p|) for deeply-underflowed p)
+    log_p = jnp.logaddexp(l_lab - lse, math.log(_EPS))
     if kind == "Shannon":
         return (-log_p).mean(axis=1).sum(axis=0)
     return ((1.0 - jnp.exp((1.0 - alpha_value) * log_p))

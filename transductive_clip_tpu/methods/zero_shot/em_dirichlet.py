@@ -32,24 +32,18 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.common import EPS, constrainer, get_one_hot
-from ...ops.dirichlet import update_alpha, weighted_log_means
+from ...ops.dirichlet import (
+    dirichlet_logits_cache,
+    update_alpha,
+    update_logits_cache_rows,
+    weighted_log_means,
+)
 from ...ops.precision import f32_einsum
 from ..base import TransductiveMethod
 
 
 # margin on top of n_query for the compacted cluster count
 _COMPACT_MARGIN = 16
-
-
-def _logits_cache(log_query, alpha):
-    """The three Dirichlet log-density terms, cached so compact iterations
-    can update only the cluster rows that changed (ops/dirichlet.py
-    dirichlet_log_pdf computes the same decomposition full-width)."""
-    from jax.scipy.special import gammaln
-
-    l12 = gammaln(jnp.sum(alpha, axis=-1)) - jnp.sum(gammaln(alpha), axis=-1)
-    l3 = f32_einsum("tnd,tkd->tnk", log_query, alpha - 1.0)       # [N, n, K]
-    return l12, l3
 
 
 def _finish(u, logits_12, logits_3, lambd, n_query, n_class, hard, con):
@@ -69,7 +63,7 @@ def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
     alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
     # keep previous alpha rows for empty clusters (reference: :224-226)
     alpha = con(jnp.where(nonzero, alpha, alpha_old), "dp", None, "tp")
-    l12, l3 = _logits_cache(log_query, alpha)
+    l12, l3 = dirichlet_logits_cache(log_query, alpha)
     u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
     return u, v, alpha, l12, l3
 
@@ -86,8 +80,6 @@ def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
     einsum per iteration with their C/K-sized slices (~10x less work,
     numerically the same values recomputed).
     """
-    from jax.scipy.special import gammaln
-
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
     mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
@@ -103,12 +95,7 @@ def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
     alpha = con(alpha, "dp", None, "tp")
 
     # incremental logits-cache update at the changed rows only
-    l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
-             - jnp.sum(gammaln(alpha_c), axis=-1))                # [N, C]
-    l12 = jnp.put_along_axis(l12, idx, l12_c, axis=1, inplace=False)
-    l3_c = f32_einsum("tnd,tcd->tnc", log_query, alpha_c - 1.0)   # [N, n, C]
-    idx_b = jnp.broadcast_to(idx[:, None, :], l3_c.shape)
-    l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=2, inplace=False)
+    l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query)
     l3 = con(l3, "dp", None, None)
 
     u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)

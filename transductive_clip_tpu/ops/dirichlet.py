@@ -156,6 +156,31 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm"):
     return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)
 
 
+def dirichlet_logits_cache(log_samples, alpha):
+    """The Dirichlet log-density split into cacheable terms:
+    log_pdf = l12[..., None, :] + l3 with l12 = lgamma(sum a) - sum lgamma(a)
+    per cluster row and l3 the (a-1).log-x contraction. Compact EM
+    iterations update only the changed rows (``update_logits_cache_rows``)
+    instead of recomputing ``dirichlet_log_pdf`` full-width."""
+    l12 = gammaln(jnp.sum(alpha, axis=-1)) - jnp.sum(gammaln(alpha), axis=-1)
+    l3 = f32_einsum("...nd,...kd->...nk", log_samples, alpha - 1.0)
+    return l12, l3
+
+
+def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples):
+    """Incremental ``dirichlet_logits_cache`` update at cluster rows ``idx``
+    ([..., C]) whose parameters changed to ``alpha_c`` ([..., C, d]) —
+    numerically the same values the full recomputation would produce, with
+    C/K of the work."""
+    l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
+             - jnp.sum(gammaln(alpha_c), axis=-1))
+    l12 = jnp.put_along_axis(l12, idx, l12_c, axis=-1, inplace=False)
+    l3_c = f32_einsum("...nd,...cd->...nc", log_samples, alpha_c - 1.0)
+    idx_b = jnp.broadcast_to(idx[..., None, :], l3_c.shape)
+    l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=-1, inplace=False)
+    return l12, l3
+
+
 def weighted_log_means(u, log_query, eps: float = 1e-15, empty_fill: float = -10.0):
     """Per-cluster weighted means of log-features, the MM constant ``y_cst``.
 

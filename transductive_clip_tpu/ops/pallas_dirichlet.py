@@ -73,13 +73,17 @@ def _solver_kernel(alpha_ref, y_ref, out_ref, *, n_valid, max_iters, tol,
 
 def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
                check_every, alpha_floor=1e-11):
-    """Reference-exact MM quadratic-surrogate iteration, VMEM-resident.
+    """The reference's MM quadratic-surrogate iteration, VMEM-resident.
 
-    Same update and stopping rule as ops/dirichlet.py:mm_update_alpha
+    Same update equation and tolerance as ops/dirichlet.py:mm_update_alpha
     (reference: em_dirichlet.py:157-177), but alpha never leaves VMEM
-    between iterations and each cluster-row block early-exits on its own
-    criterion (a block stops only when ITS aggregate change is below tol,
-    so no row stops before the global rule would have let it).
+    between iterations. Stopping differs in granularity: the XLA path tests
+    one global ||delta||^2/||alpha||^2 over the whole [N, R, K] tensor,
+    while each block here tests its own ratio (padded lanes masked out), so
+    per-block iteration counts can differ from the global rule's by a few —
+    all stopping happens below the same tol (solutions agree to solver
+    tolerance; equivalence-tested). ``dirichlet_solver: 'mm'`` remains the
+    bit-for-bit reference iteration path.
     """
     alpha0 = alpha_ref[:]                                        # [1, BK, Kp]
     y = y_ref[:]
@@ -104,8 +108,10 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
         new = jax.lax.fori_loop(
             0, check_every, lambda _, a: mm_iter(a), alpha
         )
-        num = jnp.sum((new - alpha) * (new - alpha))
-        den = jnp.maximum(jnp.sum(alpha * alpha), 1e-30)
+        # padded lanes/rows excluded from the stop criterion
+        d = jnp.where(valid, new - alpha, 0.0)
+        num = jnp.sum(d * d)
+        den = jnp.maximum(jnp.sum(jnp.where(valid, alpha, 0.0) ** 2), 1e-30)
         return new, it + check_every, num / den
 
     def cond(carry):
@@ -126,12 +132,12 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
 def pallas_mm_solve(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
                     check_every: int = 50, block_rows: int = 128,
                     interpret: bool = False):
-    """Reference-exact MM solve with VMEM-resident blocks.
+    """MM solve with VMEM-resident blocks (see _mm_kernel for the stopping
+    granularity caveat vs ``mm_update_alpha``; same equations + tolerance).
 
-    Same equations/tolerance/check cadence as ``mm_update_alpha``; the XLA
-    path streams the [N, R, K] state through HBM every iteration (~13 ms per
-    iteration at ImageNet scale), this kernel keeps each block on-chip for
-    its whole solve.
+    The XLA path streams the [N, R, K] state through HBM every iteration
+    (~13 ms per iteration at ImageNet scale); this kernel keeps each block
+    on-chip for its whole solve.
     """
     n_task, n_rows, k = alpha0.shape
     kp = _round_up(k, 128)

@@ -33,7 +33,7 @@ def shard_task_batch(tree, mesh: Mesh):
 
 def distributed_em_dirichlet(query, lambd, mesh: Mesh, n_iter: int = 20,
                              iter_mm: int = 1000, hard: bool = False,
-                             solver: str = "mm", compact: bool = True,
+                             solver: str = "mm", compact: bool = False,
                              early_stop: bool = False):
     """EM-Dirichlet over a (dp, tp) mesh.
 

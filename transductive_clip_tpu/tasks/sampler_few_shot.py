@@ -16,7 +16,8 @@ import numpy as np
 
 class CategoriesSamplerFewShot:
     def __init__(self, n_batch, k_eff, n_class, s_shot, n_query,
-                 force_query_size=False, rng=None):
+                 force_query_size=False, rng=None,
+                 support_draw="vectorized"):
         self.n_batch = n_batch
         self.k_eff = k_eff
         self.s_shot = s_shot
@@ -24,6 +25,9 @@ class CategoriesSamplerFewShot:
         self.n_class = n_class
         self.force_query_size = force_query_size
         self.rng = rng if rng is not None else np.random.default_rng()
+        # 'vectorized' (fast, class-major rng stream) or 'per_task' (the
+        # reference's draw order: one permutation per task per class)
+        self.support_draw = support_draw
         self.m_ind_support = []
         self.m_ind_query = []
 
@@ -44,6 +48,17 @@ class SamplerSupportFewShot:
 
     def __iter__(self):
         s = self.s
+        if s.support_draw == "per_task":
+            # reference draw order: one permutation per task per class
+            # (reference: sampler_few_shot.py:64-76)
+            for _ in range(s.n_batch):
+                support = []
+                for c in range(s.n_class):
+                    pool = s.m_ind_support[c]
+                    pos = s.rng.permutation(len(pool))[: s.s_shot]
+                    support.append(pool[pos])
+                yield np.concatenate(support)
+            return
         # vectorized uniform without-replacement draws: one random matrix +
         # argpartition per class covers all tasks at once (the reference
         # does n_batch * n_class separate permutations — 1e5 Python calls
