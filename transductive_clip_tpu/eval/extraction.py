@@ -122,7 +122,7 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
         labels = []
         for images, batch_labels in iter_image_batches(
             split_sources[split], preprocess=preprocess,
-            batch_size=getattr(args, "extract_batch_size", 256),
+            batch_size=getattr(args, "extract_batch_size", 512),
         ):
             pending.append(model.encode_image_batch(images))
             labels.append(np.asarray(batch_labels))
