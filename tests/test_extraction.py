@@ -111,6 +111,33 @@ def test_missing_model_raises(image_dataset):
         ensure_features(cfg, None, None, splits=("test",))
 
 
+def test_disk_to_evaluator_end_to_end(image_dataset):
+    """Images on disk -> build_dataset -> threaded decode -> stub towers ->
+    feature cache -> zero-shot evaluator, in one flow (the reference's
+    run_full_evaluation path, src/eval_zero_shot.py:44-111)."""
+    from transductive_clip_tpu.core.config import load_full_config
+    from transductive_clip_tpu.eval.zero_shot import EvaluatorZeroShot
+    from transductive_clip_tpu.models.clip.preprocess import make_preprocess
+
+    args = load_full_config(
+        opts=["dataset", "eurosat", "method", "hard_kmeans", "shots", "0",
+              "number_tasks", "4", "batch_size", "2", "n_query", "6",
+              "backbone", "RN50", "T", "30", "num_classes_test", "3",
+              "k_eff_min", "2", "k_eff_max", "3", "iter", "3",
+              "save_results", "False"],
+        config_root=os.path.join(os.path.dirname(__file__), "..", "config"),
+    )
+    args.dataset_path = image_dataset
+    args.root = "data"
+
+    ev = EvaluatorZeroShot(args=args)
+    acc, ci = ev.run_full_evaluation(
+        model=StubModel(), preprocess=make_preprocess(16, dtype="uint8")
+    )
+    assert 0.0 <= acc <= 1.0 and np.isfinite(ci)
+    assert os.path.exists("data/eurosat/saved_features/test_softmax_RN50_T30.plk")
+
+
 def test_multi_temperature_extraction(image_dataset):
     from transductive_clip_tpu.models.clip.preprocess import make_preprocess
 
