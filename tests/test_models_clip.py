@@ -86,3 +86,38 @@ def test_param_count_vit_b16():
     params = init_random_params(CLIP_CONFIGS["ViT-B/16"], seed=0)
     n = sum(x.size for x in jax.tree.leaves(params))
     assert 140e6 < n < 160e6, n
+
+
+def test_full_openai_family_architectures():
+    """Every OpenAI clip.load backbone has a config whose towers wire up to
+    the right embedding dim (shape-level only: jax.eval_shape runs no FLOPs,
+    so even RN50x64 is cheap). Reference loads these via clip.load
+    (main.py:50)."""
+    from transductive_clip_tpu.models.clip import CLIP_CONFIGS
+
+    expected_dims = {
+        "RN50": 1024, "RN101": 512, "RN50x4": 640, "RN50x16": 768,
+        "RN50x64": 1024, "ViT-B/16": 512, "ViT-B/32": 512,
+        "ViT-L/14": 768, "ViT-L/14@336px": 768,
+    }
+    assert set(CLIP_CONFIGS) == set(expected_dims)
+    for name, cfg in CLIP_CONFIGS.items():
+        module = CLIPModule(cfg)
+        images = jax.ShapeDtypeStruct(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.float32
+        )
+        tokens = jax.ShapeDtypeStruct((2, cfg.text.context_length), jnp.int32)
+        params = jax.eval_shape(
+            lambda i, t, m=module: m.init(jax.random.PRNGKey(0), i, t),
+            images, tokens,
+        )
+        img = jax.eval_shape(
+            lambda p, i, m=module: m.apply(p, i, method=CLIPModule.encode_image),
+            params, images,
+        )
+        txt = jax.eval_shape(
+            lambda p, t, m=module: m.apply(p, t, method=CLIPModule.encode_text),
+            params, tokens,
+        )
+        assert img.shape == (2, expected_dims[name]), name
+        assert txt.shape == (2, expected_dims[name]), name

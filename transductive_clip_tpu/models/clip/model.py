@@ -146,7 +146,8 @@ def init_random_params(cfg: CLIPConfig, seed: int = 0):
 
 def checkpoint_path(backbone: str) -> str:
     root = os.environ.get("CLIP_WEIGHTS_DIR", os.path.join("data", "clip_weights"))
-    safe = backbone.replace("/", "-")
+    # "ViT-L/14@336px" -> "ViT-L-14-336px.pt", matching OpenAI's filenames
+    safe = backbone.replace("/", "-").replace("@", "-")
     return os.path.join(root, f"{safe}.pt")
 
 
