@@ -60,4 +60,4 @@ def test_clip_load_gating(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError, match="RN50"):
         clip_jax.load("RN50")
     with pytest.raises(ValueError, match="backbone"):
-        clip_jax.load("RN101")
+        clip_jax.load("RN34")

@@ -155,6 +155,81 @@ def test_tim_gather_ce_equals_onehot_ce(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_tim_manual_grad_equals_autodiff(rng):
+    """grad_impl='manual' (closed-form fused gradient) must reproduce the
+    autodiff trajectory for every entropy combination, including with
+    support rows arriving unsorted."""
+    from transductive_clip_tpu.methods.few_shot.tim import (
+        resolve_grad_impl, tim_infer,
+    )
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+    import jax.numpy as jnp
+
+    xs, ys, xq, yq = make_few_shot_tasks(rng, 3, n_query=20, n_class=6,
+                                         shots=2, k_eff=3)
+    # shuffle the support rows so the manual path's label sort is exercised
+    perm = rng.permutation(xs.shape[1])
+    xs, ys = xs[:, perm], ys[:, perm]
+    assert resolve_grad_impl("manual", ys, 6) == "manual"
+
+    for entropies in (("Shannon", "Alpha", "Alpha"),
+                      ("Shannon", "Shannon", "Shannon"),
+                      ("Alpha", "Alpha", "Alpha")):
+        out = {}
+        for impl in ("autodiff", "manual"):
+            u, crit = tim_infer(
+                jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32),
+                jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+                n_iter=50, n_class=6, entropies=entropies, lr=1e-3,
+                grad_impl=impl,
+            )
+            out[impl] = (np.asarray(u), np.asarray(crit))
+        np.testing.assert_allclose(out["manual"][0], out["autodiff"][0],
+                                   rtol=1e-4, atol=1e-5, err_msg=str(entropies))
+        np.testing.assert_allclose(out["manual"][1], out["autodiff"][1],
+                                   rtol=1e-3, atol=1e-7, err_msg=str(entropies))
+
+    # non-uniform per-class support cannot use the sorted-segment manual path
+    ys_bad = ys.copy()
+    ys_bad[:, 0] = ys_bad[:, 1]
+    assert resolve_grad_impl("manual", ys_bad, 6) == "autodiff"
+    assert resolve_grad_impl("pallas", ys_bad, 6) == "pallas"  # any labels ok
+    assert resolve_grad_impl("autodiff", ys, 6) == "autodiff"
+
+
+def test_tim_pallas_grad_equals_autodiff(rng):
+    """The fused Pallas support-gradient (interpreted on CPU) must
+    reproduce the autodiff trajectory, including with non-uniform,
+    unsorted support labels."""
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+    import jax.numpy as jnp
+
+    xs, ys, xq, yq = make_few_shot_tasks(rng, 2, n_query=15, n_class=6,
+                                         shots=2, k_eff=3)
+    perm = rng.permutation(xs.shape[1])
+    xs, ys = xs[:, perm], ys[:, perm]
+    # make the support non-uniform: the kernel's one-hot mask must not care
+    ys = ys.copy()
+    ys[:, 0] = (ys[:, 1] + 1) % 6
+
+    for entropies in (("Shannon", "Alpha", "Alpha"),
+                      ("Alpha", "Shannon", "Shannon")):
+        out = {}
+        for impl in ("autodiff", "pallas"):
+            u, crit = tim_infer(
+                jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32),
+                jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+                n_iter=40, n_class=6, entropies=entropies, lr=1e-3,
+                precision="highest", grad_impl=impl,
+            )
+            out[impl] = (np.asarray(u), np.asarray(crit))
+        np.testing.assert_allclose(out["pallas"][0], out["autodiff"][0],
+                                   rtol=1e-4, atol=1e-5, err_msg=str(entropies))
+        np.testing.assert_allclose(out["pallas"][1], out["autodiff"][1],
+                                   rtol=1e-3, atol=1e-7, err_msg=str(entropies))
+
+
 def test_task_chunking_is_exact(rng):
     """task_chunk splits the independent task axis; results must be
     identical to the unchunked run (zero- and few-shot)."""

@@ -98,12 +98,52 @@ def _conditional_entropy(q_probs, kind: str, alpha_value):
             / (alpha_value - 1.0)).mean(axis=1).sum(axis=0)
 
 
+def _ce_grad_coef(y_s, logits_s, kind: str, alpha_value):
+    """Per-sample coefficient of the CE gradient: dCE/dlogits =
+    coef[:, :, None] * (p - onehot(y)) / n_support. Differentiates the
+    epsilon-capped log used by ``_cross_entropy_gather`` exactly."""
+    import math
+
+    lse = jax.nn.logsumexp(logits_s, axis=-1)
+    l_lab = jnp.take_along_axis(logits_s, y_s[..., None], axis=-1)[..., 0]
+    z = l_lab - lse
+    log_p = jnp.logaddexp(z, math.log(_EPS))     # log(p_label + eps)
+    sigma = jnp.exp(z - log_p)                   # p_label / (p_label + eps)
+    if kind == "Shannon":
+        return sigma, lse
+    return -jnp.exp((1.0 - alpha_value) * log_p) * sigma, lse
+
+
+def _query_grad(p_q, entropies, alpha_value, loss_weights):
+    """d(-w1*H_marg + w2*H_cond)/dlogits_q through the softmax jacobian."""
+    n_query = p_q.shape[1]
+    marg = jnp.mean(p_q, axis=1)
+    if entropies[1] == "Shannon":
+        a = -(jnp.log(marg + _EPS) + marg / (marg + _EPS))
+    else:
+        a = (-alpha_value / (alpha_value - 1.0)) * jnp.power(
+            marg, alpha_value - 1.0
+        )
+    pa = jnp.einsum("tnk,tk->tn", p_q, a)
+    g_marg = p_q * (a[:, None, :] - pa[..., None]) / n_query
+
+    if entropies[2] == "Shannon":
+        b = -(jnp.log(p_q + _EPS) + p_q / (p_q + _EPS)) / n_query
+    else:
+        b = (-alpha_value / ((alpha_value - 1.0) * n_query)) * jnp.power(
+            p_q + _EPS, alpha_value - 1.0
+        )
+    g_cond = p_q * (b - jnp.sum(b * p_q, axis=2, keepdims=True))
+    return -loss_weights[1] * g_marg + loss_weights[2] * g_cond
+
+
 @partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr",
-                                   "precision", "ce_impl", "mesh"))
+                                   "precision", "ce_impl", "mesh",
+                                   "grad_impl"))
 def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
               n_iter: int, n_class: int, entropies: tuple, lr: float,
               precision: str = "highest", ce_impl: str = "gather",
-              mesh=None):
+              mesh=None, grad_impl: str = "autodiff"):
     """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter]).
 
     ``mesh``: optional (dp, tp) mesh — tasks shard over dp; the class
@@ -112,6 +152,15 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     contraction psums over ICI. This is the memory-bound method of the
     suite (autodiff residuals over [N, n_class*shots, K] support logits);
     TP is how batches that exceed one chip's HBM run.
+
+    ``grad_impl='manual'`` computes the loss gradient in closed form (the
+    same equations autodiff evaluates: softmax jacobians of the three
+    entropy terms chained into dlogits/dW = temp*(x_n - w_k)) in one fused
+    pass — no saved residuals, no scatter in the gather-CE backward. It
+    requires support with the protocol's uniform per-class counts (the
+    few-shot sampler guarantees shots from every class, reference:
+    sampler_few_shot.py:64-76); the method wrappers verify and fall back
+    to autodiff otherwise. Equivalence vs autodiff is tested.
     """
     con = constrainer(mesh)
 
@@ -146,7 +195,77 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         )
         return loss, logits_q
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if grad_impl == "pallas" and mesh is not None:
+        grad_impl = "autodiff"     # sharded state: let GSPMD place the work
+
+    if grad_impl == "pallas":
+        from ...ops.pallas_tim import pallas_tim_support_grad
+
+        contract = (f32_einsum if precision == "highest" else jnp.einsum)
+        ce_scale = loss_weights[0] / support.shape[1]
+
+        def grad_fn(weights):
+            gs_x, col = pallas_tim_support_grad(
+                support, y_s, weights, temp, ce_scale, alpha_value,
+                ce_kind=entropies[0], precision=precision,
+            )
+            logits_q = _tim_logits(weights, query, temp, precision)
+            g_q = _query_grad(
+                jax.nn.softmax(logits_q, axis=2), entropies, alpha_value,
+                loss_weights,
+            )
+            gq_x = contract("tnk,tnd->tkd", g_q, query)
+            col = col + g_q.sum(axis=1)
+            grads = temp * (gs_x + gq_x - col[..., None] * weights)
+            return (None, logits_q), grads
+    elif grad_impl == "manual":
+        n_support = support.shape[1]
+        if n_support % n_class != 0:
+            raise ValueError(
+                "grad_impl='manual' needs uniform per-class support "
+                f"(n_support={n_support} not divisible by K={n_class})"
+            )
+        shots = n_support // n_class
+        # sort support by label once so the one-hot CE term reduces to a
+        # [K, shots] segment contraction instead of a scatter
+        order = jnp.argsort(y_s, axis=1)
+        y_sorted = jnp.take_along_axis(y_s, order, axis=1)
+        x_sorted = jnp.take_along_axis(support, order[..., None], axis=1)
+        contract = (f32_einsum if precision == "highest" else jnp.einsum)
+
+        def grad_fn(weights):
+            # support CE: G_s = w0 * coef * (p_s - onehot) / n_support
+            logits_s = _tim_logits(weights, x_sorted, temp, precision)
+            coef, lse = _ce_grad_coef(
+                y_sorted, logits_s, entropies[0], alpha_value
+            )
+            scale = loss_weights[0] / n_support
+            g_plain = (scale * coef)[..., None] * jnp.exp(
+                logits_s - lse[..., None]
+            )
+            coef_r = (scale * coef).reshape(-1, n_class, shots)
+            x_r = x_sorted.reshape(-1, n_class, shots, x_sorted.shape[-1])
+            gs_x = contract("tnk,tnd->tkd", g_plain, x_sorted)
+            gs_x -= contract("tks,tksd->tkd", coef_r, x_r)
+            col = g_plain.sum(axis=1) - coef_r.sum(axis=2)
+
+            # query entropy terms
+            logits_q = _tim_logits(weights, query, temp, precision)
+            g_q = _query_grad(
+                jax.nn.softmax(logits_q, axis=2), entropies, alpha_value,
+                loss_weights,
+            )
+            gq_x = contract("tnk,tnd->tkd", g_q, query)
+            col = col + g_q.sum(axis=1)
+            grads = temp * (gs_x + gq_x - col[..., None] * weights)
+            return (None, logits_q), grads
+    else:
+        _grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def grad_fn(weights):
+            (_, logits_q), grads = _grad_fn(weights)
+            return (None, logits_q), grads
+
     logits_q0 = _tim_logits(w0, query, temp, precision)
 
     def step(carry, _):
@@ -162,6 +281,28 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         step, (w0, opt_state0, logits_q0), None, length=n_iter
     )
     return jax.nn.softmax(logits_q, axis=2), criterions
+
+
+def resolve_grad_impl(cfg_value, y_s, n_class):
+    """'auto' picks the fused Pallas support-gradient on TPU (any label
+    layout, both matmul precisions) and autodiff elsewhere. 'manual' (the
+    Pallas kernel's XLA reference implementation) additionally requires the
+    protocol's uniform per-class support layout."""
+    if cfg_value in ("autodiff", "pallas"):
+        return cfg_value
+    if cfg_value == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "autodiff"
+    import numpy as np
+
+    y = np.asarray(y_s)
+    n_support = y.shape[-1]
+    if n_support % n_class:
+        return "autodiff"
+    shots = n_support // n_class
+    counts = np.apply_along_axis(
+        np.bincount, 1, y.reshape(-1, n_support), minlength=n_class
+    )
+    return "manual" if (counts == shots).all() else "autodiff"
 
 
 class ALPHA_TIM(FewShotMethod):
@@ -187,6 +328,10 @@ class ALPHA_TIM(FewShotMethod):
             precision=str(args.get("tim_matmul_precision", "highest")),
             ce_impl=str(args.get("tim_ce_impl", "gather")),
             mesh=self.mesh,
+            grad_impl=resolve_grad_impl(
+                str(args.get("tim_grad_impl", "auto")),
+                task["y_s"], int(args.num_classes_test),
+            ),
         )
 
 
@@ -210,4 +355,8 @@ class TIM_GD(FewShotMethod):
             precision=str(args.get("tim_matmul_precision", "highest")),
             ce_impl=str(args.get("tim_ce_impl", "gather")),
             mesh=self.mesh,
+            grad_impl=resolve_grad_impl(
+                str(args.get("tim_grad_impl", "auto")),
+                task["y_s"], int(args.num_classes_test),
+            ),
         )
