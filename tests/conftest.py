@@ -36,8 +36,15 @@ if _needs_reexec():
 import jax
 
 # persistent compilation cache: the suite is compile-bound on the single-core
-# CPU backend; repeated runs hit the cache instead of recompiling
-jax.config.update("jax_compilation_cache_dir", "/tmp/tclip_jax_cache")
+# CPU backend; repeated runs hit the cache instead of recompiling.
+# Keyed by hostname: the workspace moves between machines, and XLA:CPU AOT
+# artifacts compiled for another host's CPU features would be rejected with
+# noisy errors (or worse, SIGILL).
+import socket
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/tclip_jax_cache_{socket.gethostname()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
