@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--n-class", type=int, default=1000)
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for a smoke run")
+    ap.add_argument("--few-shot", action="store_true",
+                    help="also run the few-shot methods at the Table-2 "
+                         "ImageNet protocol (slow: alpha-TIM is 1000 Adam "
+                         "iterations)")
+    ap.add_argument("--skip-zero-shot", action="store_true",
+                    help="run only the sections selected by other flags")
     args = ap.parse_args()
     if args.quick:
         args.tasks, args.n_class = 8, 64
@@ -93,25 +99,29 @@ def main():
 
     prod = dict(solver=fast_solver, compact=True, early_stop=True)
     exact = dict(solver="mm", compact=False, early_stop=False)
-    u_soft = bench_method("headline_soft_production", REF_SOFT,
-                          n_iter=20, iter_mm=1000, hard=False, **prod)
-    bench_method("headline_hard_production", REF_HARD,
-                 n_iter=10, iter_mm=1000, hard=True, **prod)
-    bench_method("reference_exact_soft", REF_SOFT,
-                 n_iter=20, iter_mm=1000, hard=False, **exact)
-    bench_method("reference_exact_hard", REF_HARD,
-                 n_iter=10, iter_mm=1000, hard=True, **exact)
-    # same exact schedule, MM iteration fused into the VMEM-resident kernel
-    exact_pl = dict(exact, solver="mm_pallas") if backend == "tpu" else None
-    if exact_pl:
-        bench_method("reference_exact_soft_mm_pallas", REF_SOFT,
-                     n_iter=20, iter_mm=1000, hard=False, **exact_pl)
-        bench_method("reference_exact_hard_mm_pallas", REF_HARD,
-                     n_iter=10, iter_mm=1000, hard=True, **exact_pl)
+    if not args.skip_zero_shot:
+        u_soft = bench_method("headline_soft_production", REF_SOFT,
+                              n_iter=20, iter_mm=1000, hard=False, **prod)
+        bench_method("headline_hard_production", REF_HARD,
+                     n_iter=10, iter_mm=1000, hard=True, **prod)
+        bench_method("reference_exact_soft", REF_SOFT,
+                     n_iter=20, iter_mm=1000, hard=False, **exact)
+        bench_method("reference_exact_hard", REF_HARD,
+                     n_iter=10, iter_mm=1000, hard=True, **exact)
+        # same exact schedule, MM iteration fused into the VMEM kernel
+        exact_pl = dict(exact, solver="mm_pallas") if backend == "tpu" else None
+        if exact_pl:
+            bench_method("reference_exact_soft_mm_pallas", REF_SOFT,
+                         n_iter=20, iter_mm=1000, hard=False, **exact_pl)
+            bench_method("reference_exact_hard_mm_pallas", REF_HARD,
+                         n_iter=10, iter_mm=1000, hard=True, **exact_pl)
 
     # ---- full accuracy path: prototypes + cluster->class matching --------
     from transductive_clip_tpu.core.config import CfgNode
     from transductive_clip_tpu.methods.base import clustering_accuracy
+
+    if args.skip_zero_shot:
+        u_soft = None
 
     def acc_path(backend_name, graph_matching=True):
         cfg = CfgNode(dict(
@@ -122,7 +132,9 @@ def main():
         acc, _ = clustering_accuracy(u_soft, x, y_np, cfg)
         return time.perf_counter() - t0, float(acc.mean())
 
-    for name, gm in [("host", True), ("device", True), ("basic", False)]:
+    matching_modes = ([] if args.skip_zero_shot else
+                      [("host", True), ("device", True), ("basic", False)])
+    for name, gm in matching_modes:
         acc_path(name if gm else "host", graph_matching=gm)  # compile/warmup
         elapsed, acc = acc_path(name if gm else "host", graph_matching=gm)
         rows.append({
@@ -141,13 +153,14 @@ def main():
         iter=20, iter_mm=1000, dirichlet_solver=fast_solver,
         compact_clusters=True, early_stop=True,
     ))
-    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
-    task = {"x_q": x_np, "y_q": y_np}
-    method.run_task(task)                          # compile/warmup
-    t0 = time.perf_counter()
-    logs = method.run_task(task)
-    elapsed = time.perf_counter() - t0
-    rows.append({
+    if not args.skip_zero_shot:
+        method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+        task = {"x_q": x_np, "y_q": y_np}
+        method.run_task(task)                      # compile/warmup
+        t0 = time.perf_counter()
+        logs = method.run_task(task)
+        elapsed = time.perf_counter() - t0
+        rows.append({
         "metric": "end_to_end_zero_shot",
         "value": round(n_task / elapsed, 3),
         "unit": "tasks/sec",
@@ -156,6 +169,81 @@ def main():
         "acc": round(float(np.mean(logs["acc"][:, -1])), 4),
         "baseline_note": "reference excludes matching from its timing",
     })
+
+    # ---- few-shot methods at the Table-2 protocol (--few-shot) -----------
+    if args.few_shot:
+        from transductive_clip_tpu.core.config import load_full_config
+        from transductive_clip_tpu.methods import get_few_shot_method
+
+        # Table 2 (BASELINE.md), ImageNet column, per-task seconds
+        fs_refs = {
+            "paddle": ("PADDLE", 0.404),
+            "laplacian_shot": ("LAPLACIAN_SHOT", 0.210),
+            "bdcspn": ("BDCSPN", 0.449),
+            "em_dirichlet": ("EM_DIRICHLET", 1.04),
+            "alpha_tim": ("ALPHA_TIM", 1.65),
+        }
+        shots = 4
+        # alpha-TIM's [N, K, K] weights + Adam state bound the batch
+        fs_tasks = min(args.tasks, 25)
+        cfg_root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "config")
+
+        # vectorized simplex features (gamma draws), peaked on the label
+        def simplex(labels, conc=60.0):
+            g = rng.gamma(1.0, size=(*labels.shape, n_class)).astype(np.float32)
+            g[np.arange(labels.shape[0])[:, None],
+              np.arange(labels.shape[1])[None, :], labels] += conc
+            return g / g.sum(-1, keepdims=True)
+
+        y_s = np.tile(np.repeat(np.arange(n_class), shots), (fs_tasks, 1))
+        # protocol: queries concentrate on k_eff classes per task
+        k_eff = 5
+        y_q = np.stack([
+            rng.choice(rng.choice(n_class, k_eff, replace=False), n_query)
+            for _ in range(fs_tasks)
+        ])
+        # tensors device-resident, as the evaluator's device-side feature
+        # tables keep them — run_task times compute, not the host link
+        task = {
+            "x_s": jnp.asarray(simplex(y_s)), "y_s": jnp.asarray(y_s),
+            "x_q": jnp.asarray(simplex(y_q)), "y_q": y_q,
+        }
+        from transductive_clip_tpu.ops.common import device_sync
+
+        device_sync(task["x_s"])
+        methods, best, accs = {}, {}, {}
+        for name, (reg_name, ref) in fs_refs.items():
+            cfg = load_full_config(
+                opts=["dataset", "imagenet", "method", name, "shots",
+                      str(shots), "batch_size", str(fs_tasks),
+                      "n_query", str(n_query), "tunable", "False"],
+                config_root=cfg_root,
+            )
+            cfg.n_class = cfg.num_classes_test = n_class
+            methods[name] = get_few_shot_method(reg_name, args=cfg)
+            methods[name].run_task(dict(task), shot=shots)  # compile/warmup
+            best[name] = np.inf
+        # round-robin x3, per-method minimum: the shared tunneled chip has
+        # transient multi-second slowdown windows; interleaving decorrelates
+        # them from any one method's measurement
+        for _ in range(3):
+            for name in fs_refs:
+                t0 = time.perf_counter()
+                logs = methods[name].run_task(dict(task), shot=shots)
+                best[name] = min(best[name], time.perf_counter() - t0)
+                accs[name] = float(np.mean(logs["acc"][:, -1]))
+        for name, (reg_name, ref) in fs_refs.items():
+            per_task = best[name] / fs_tasks
+            rows.append({
+                "metric": f"few_shot_{name}_imagenet_protocol",
+                "value": round(per_task * 1000, 2),
+                "unit": "ms/task",
+                "vs_baseline": round(ref / per_task, 2),
+                "acc": round(accs[name], 4),
+                "baseline_note": f"reference Table 2: {ref}s/task, "
+                                 "unspecified GPU",
+            })
 
     for r in rows:
         print(json.dumps(r))
