@@ -136,7 +136,11 @@ def main():
                       [("host", True), ("device", True), ("basic", False)])
     for name, gm in matching_modes:
         acc_path(name if gm else "host", graph_matching=gm)  # compile/warmup
-        elapsed, acc = acc_path(name if gm else "host", graph_matching=gm)
+        elapsed, acc = min(
+            (acc_path(name if gm else "host", graph_matching=gm)
+             for _ in range(3)),
+            key=lambda r: r[0],
+        )
         rows.append({
             "metric": f"accuracy_path_matching_{name}",
             "value": round(elapsed / n_task * 1000, 3),
@@ -157,9 +161,11 @@ def main():
         method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
         task = {"x_q": x_np, "y_q": y_np}
         method.run_task(task)                      # compile/warmup
-        t0 = time.perf_counter()
-        logs = method.run_task(task)
-        elapsed = time.perf_counter() - t0
+        elapsed = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            logs = method.run_task(task)
+            elapsed = min(elapsed, time.perf_counter() - t0)
         rows.append({
         "metric": "end_to_end_zero_shot",
         "value": round(n_task / elapsed, 3),
@@ -189,8 +195,12 @@ def main():
         cfg_root = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "config")
 
-        # vectorized simplex features (gamma draws), peaked on the label
-        def simplex(labels, conc=60.0):
+        # vectorized simplex features (gamma draws), peaked on the label.
+        # Concentration scales with K so the label's share of the mass
+        # (~50%) resembles real CLIP softmax features at T=30 at any K —
+        # with a fixed 60 the K=1000 features are near-noise and the
+        # gradient methods' accuracy is meaningless (timings unaffected).
+        def simplex(labels, conc=float(n_class)):
             g = rng.gamma(1.0, size=(*labels.shape, n_class)).astype(np.float32)
             g[np.arange(labels.shape[0])[:, None],
               np.arange(labels.shape[1])[None, :], labels] += conc
