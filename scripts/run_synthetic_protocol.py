@@ -5,8 +5,13 @@ needing CLIP weights or datasets.
 
     python scripts/run_synthetic_protocol.py [--n-class 100] [--tasks 200]
 
-Prints one table row per method: accuracy (should be near 1.0 on separable
-synthetic tasks) and per-task milliseconds on the current backend.
+Prints one table row per method: accuracy and per-task milliseconds on the
+current backend. The Dirichlet/hard-kmeans/KL methods should be near 1.0 on
+these separable simplex tasks; the Gaussian and soft-kmeans baselines are
+expected to score much lower at large K — that is the paper's core finding
+(Table 1: Euclidean-geometry methods fit softmax features poorly), and the
+reference implementations score identically on the same tasks
+(tests/test_run_reference.py).
 """
 
 from __future__ import annotations
