@@ -36,16 +36,20 @@ REF_SOFT = 1.04
 REF_HARD = 0.697
 
 
-def timed(fn, *args, repeats=1, **kw):
+def timed(fn, *args, repeats=3, **kw):
+    """Minimum over ``repeats`` runs (the shared tunneled chip has transient
+    multi-second slowdown windows; the minimum is the uncontended number)."""
     from transductive_clip_tpu.ops.common import device_sync
 
     out = fn(*args, **kw)          # compile + warmup
     device_sync(out)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(repeats):
+        t0 = time.perf_counter()
         out = fn(*args, **kw)
         device_sync(out)
-    return (time.perf_counter() - t0) / repeats, out
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def main():
@@ -260,6 +264,9 @@ def main():
     print()
     print(f"backend={backend}  n_task={n_task} n_query={n_query} "
           f"n_class={n_class}")
+    if not rows:
+        print("(no sections selected)")
+        return
     w = max(len(r["metric"]) for r in rows)
     for r in rows:
         extra = (f"  vs_baseline={r['vs_baseline']}x"

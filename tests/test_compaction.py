@@ -30,6 +30,34 @@ def test_compact_matches_full(rng):
     )
 
 
+def test_compact_first_iter_flat_features(rng):
+    """Iteration-1 compaction must match the exact path even on near-flat
+    features (label mass ~7% — the adversarial regime for the dense first
+    iteration, where every cluster carries query mass)."""
+    x, y = make_simplex_tasks(
+        rng, n_task=4, n_query=20, n_class=300, k_eff=6, concentration=20.0
+    )
+    lambd = float(int(300 / 5) * 20)
+    kw = dict(n_iter=8, iter_mm=300, solver="minka", early_stop=False)
+    for hard in (False, True):
+        u_exact, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                        compact=False, hard=hard, **kw)
+        u_cf, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                     compact=True, compact_first=True,
+                                     hard=hard, **kw)
+        u_nf, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                     compact=True, compact_first=False,
+                                     hard=hard, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(u_exact).argmax(-1), np.asarray(u_cf).argmax(-1),
+            err_msg=f"hard={hard} compact_first",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(u_exact).argmax(-1), np.asarray(u_nf).argmax(-1),
+            err_msg=f"hard={hard} full-first",
+        )
+
+
 def test_compact_hard_variant(rng):
     x, y = make_simplex_tasks(
         rng, n_task=2, n_query=20, n_class=120, k_eff=4, concentration=80.0

@@ -187,7 +187,7 @@ def test_tim_manual_grad_equals_autodiff(rng):
         np.testing.assert_allclose(out["manual"][0], out["autodiff"][0],
                                    rtol=1e-4, atol=1e-5, err_msg=str(entropies))
         np.testing.assert_allclose(out["manual"][1], out["autodiff"][1],
-                                   rtol=1e-3, atol=1e-7, err_msg=str(entropies))
+                                   rtol=5e-3, atol=1e-5, err_msg=str(entropies))
 
     # non-uniform per-class support cannot use the sorted-segment manual path
     ys_bad = ys.copy()
@@ -227,7 +227,7 @@ def test_tim_pallas_grad_equals_autodiff(rng):
         np.testing.assert_allclose(out["pallas"][0], out["autodiff"][0],
                                    rtol=1e-4, atol=1e-5, err_msg=str(entropies))
         np.testing.assert_allclose(out["pallas"][1], out["autodiff"][1],
-                                   rtol=1e-3, atol=1e-7, err_msg=str(entropies))
+                                   rtol=5e-3, atol=1e-5, err_msg=str(entropies))
 
 
 def test_task_chunking_is_exact(rng):

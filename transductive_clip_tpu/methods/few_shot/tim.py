@@ -18,12 +18,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ...ops.common import constrainer, get_one_hot
+from ...ops.common import TIM_EPS as _EPS, constrainer, get_one_hot
 from ..base import FewShotMethod
 from .paddle import support_class_means
 from ...ops.precision import f32_einsum
-
-_EPS = 1e-12
 
 
 def _tim_logits(weights, samples, temp, precision: str = "highest"):
@@ -274,7 +272,10 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         updates, opt_state = opt.update(con_w(grads), opt_state)
         new_weights = con_w(optax.apply_updates(weights, updates))
         opt_state = con_w(opt_state)
-        crit = jnp.mean(jnp.linalg.norm(weights - new_weights, axis=-1))
+        # per-task weight change [N], matching the reference's recorded
+        # criterion (reference: tim.py weight_diff = norm(dim=-1).mean(-1))
+        crit = jnp.mean(jnp.linalg.norm(weights - new_weights, axis=-1),
+                        axis=-1)
         return (new_weights, opt_state, logits_q), crit
 
     (_, _, logits_q), criterions = jax.lax.scan(
@@ -283,15 +284,24 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     return jax.nn.softmax(logits_q, axis=2), criterions
 
 
-def resolve_grad_impl(cfg_value, y_s, n_class):
-    """'auto' picks the fused Pallas support-gradient on TPU (any label
-    layout, both matmul precisions) and autodiff elsewhere. 'manual' (the
-    Pallas kernel's XLA reference implementation) additionally requires the
-    protocol's uniform per-class support layout."""
+def resolve_grad_impl(cfg_value, y_s, n_class, precision="highest"):
+    """'auto' picks the fused Pallas support-gradient on TPU with bf16
+    matmuls (any label layout) — the configuration where the step is
+    HBM-bound and VMEM fusion pays. At fp32 the step is MXU-compute-bound
+    and the kernel measures no faster than autodiff, so 'auto' keeps
+    autodiff there. 'manual' (the Pallas kernel's XLA reference
+    implementation) additionally requires the protocol's uniform per-class
+    support layout."""
     if cfg_value in ("autodiff", "pallas"):
         return cfg_value
     if cfg_value == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "autodiff"
+        return ("pallas" if jax.default_backend() == "tpu"
+                and precision != "highest" else "autodiff")
+    if cfg_value != "manual":
+        raise ValueError(
+            f"Unknown tim_grad_impl {cfg_value!r}; choose from "
+            "'auto', 'pallas', 'manual', 'autodiff'"
+        )
     import numpy as np
 
     y = np.asarray(y_s)
@@ -331,6 +341,7 @@ class ALPHA_TIM(FewShotMethod):
             grad_impl=resolve_grad_impl(
                 str(args.get("tim_grad_impl", "auto")),
                 task["y_s"], int(args.num_classes_test),
+                precision=str(args.get("tim_matmul_precision", "highest")),
             ),
         )
 
@@ -358,5 +369,6 @@ class TIM_GD(FewShotMethod):
             grad_impl=resolve_grad_impl(
                 str(args.get("tim_grad_impl", "auto")),
                 task["y_s"], int(args.num_classes_test),
+                precision=str(args.get("tim_matmul_precision", "highest")),
             ),
         )

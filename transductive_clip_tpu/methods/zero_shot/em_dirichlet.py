@@ -19,11 +19,14 @@ and hard_em_dirichlet.py:124-271) re-designed for TPU:
   em_dirichlet.py:224-226). Iteration 1 compacts too: with alpha
   initialized to ones the Dirichlet logits cache is analytic (l3 = 0,
   l12 = lgamma(K)), so no full-width solve ever runs. At ImageNet scale
-  (K=1000, n_query=75) this cuts the solver's work ~10x. Exact whenever at
-  most C clusters carry query mass (the typical underflow regime;
-  guaranteed for the hard variant); the wrapper checks the final
-  assignments' sparsity after the run and warns if the approximation could
-  have engaged — set ``compact_clusters: False`` for the guaranteed-exact
+  (K=1000, n_query=75) this cuts the solver's work ~10x. From iteration 2
+  on this is exact whenever at most C clusters carry query mass (the
+  typical underflow regime; guaranteed for the hard variant) and the
+  wrapper's post-run sparsity check warns otherwise; iteration 1 (dense u)
+  instead rests on the lambda*v concentration argument, verified
+  prediction-identical on peaked and near-flat features
+  (tests/test_compaction.py) — ``compact_first_iter: False`` restores the
+  full-width first solve, ``compact_clusters: False`` the fully exact
   path.
 """
 
@@ -36,6 +39,7 @@ import jax.numpy as jnp
 
 from ...ops.common import EPS, constrainer, get_one_hot
 from ...ops.dirichlet import (
+    clamped_cluster_means,
     dirichlet_logits_cache,
     update_alpha,
     update_logits_cache_rows,
@@ -87,10 +91,9 @@ def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
     mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
     u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)         # [N, n, C]
-    y_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
-    y_c = y_c / jnp.maximum(mass, EPS)[..., None]
-    nonzero_c = (mass > EPS)[..., None]
-    y_c = con(jnp.where(nonzero_c, y_c, -10.0), "dp", None, "tp")
+    num_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
+    y_c, nonzero_c = clamped_cluster_means(num_c, mass, eps=EPS)
+    y_c = con(y_c, "dp", None, "tp")
     alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
     alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
     alpha_c = jnp.where(nonzero_c, alpha_c, alpha_c_old)
@@ -117,9 +120,11 @@ def _criterion(alpha_old, alpha):
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
-                                   "compact", "early_stop", "mesh"))
+                                   "compact", "compact_first", "early_stop",
+                                   "mesh"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                        solver: str = "mm", compact: bool = True,
+                       compact_first: bool = True,
                        early_stop: bool = True,
                        early_stop_tol: float = 1e-6,
                        mesh=None):
@@ -152,15 +157,22 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     use_compact = compact and n_class > 2 * n_compact
 
     alpha_old = alpha
-    if use_compact:
+    if use_compact and compact_first:
         # Iteration 1 is compact too: with alpha = ones the Dirichlet
         # logits cache is analytic (l3 = (a-1).log-x = 0, l12 = lgamma(K)),
-        # so only the top-C clusters by raw-feature mass need a solve. The
-        # remaining rows keep alpha = 1 — the same empty-cluster rule the
-        # later compact iterations apply, under the same lambda*v
-        # concentration argument (and the same post-run validity check).
-        # This removes the one full-width [N, K, K] solve + lgamma pass,
-        # which dominated the early-stopped runtime at ImageNet scale.
+        # so only the top-C clusters by raw-feature mass need a solve; the
+        # remaining rows keep alpha = 1 (logit lgamma(K)). This removes
+        # the one full-width [N, K, K] solve + lgamma pass, which dominated
+        # the early-stopped runtime at ImageNet scale (291 -> 633 tasks/s).
+        # Caveat: at iteration 1 u = raw softmax features is dense, so
+        # unlike later iterations this rests only on the lambda*v
+        # concentration argument — the post-run sparsity check inspects the
+        # final assignments and cannot detect an iteration-1 deviation.
+        # Verified prediction-identical vs the exact path on peaked AND
+        # near-flat features (tests/test_compaction.py); set
+        # ``compact_first_iter: False`` to solve iteration 1 full-width
+        # while keeping per-iteration compaction, or
+        # ``compact_clusters: False`` for the fully exact path.
         import math
 
         l12 = jnp.full((n_task, n_class), math.lgamma(n_class), jnp.float32)
@@ -228,6 +240,7 @@ class EM_DIRICHLET(TransductiveMethod):
             solver = "pallas" if jax.default_backend() == "tpu" else "minka"
         self.solver = solver
         self.compact = bool(args.get("compact_clusters", True))
+        self.compact_first = bool(args.get("compact_first_iter", True))
         self.early_stop = bool(args.get("early_stop", True))
 
     def _check_compaction(self, u, n_query, n_class):
@@ -257,6 +270,7 @@ class EM_DIRICHLET(TransductiveMethod):
             hard=self.hard,
             solver=self.solver,
             compact=self.compact,
+            compact_first=self.compact_first,
             early_stop=self.early_stop,
             mesh=self.mesh,
         )

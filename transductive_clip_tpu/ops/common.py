@@ -7,6 +7,10 @@ import jax.numpy as jnp
 # Matches the epsilon used throughout the reference methods
 # (reference: src/methods/zero_shot/em_dirichlet.py:20).
 EPS = 1e-15
+# the TIM loss epsilon (reference: src/methods/few_shot/tim.py log/power guards);
+# shared by the autodiff loss, the closed-form gradient, and the Pallas kernel,
+# whose equivalence depends on using one value
+TIM_EPS = 1e-12
 
 
 def get_one_hot(y, n_class, dtype=jnp.float32):

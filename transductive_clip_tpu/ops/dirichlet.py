@@ -181,6 +181,17 @@ def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples):
     return l12, l3
 
 
+def clamped_cluster_means(num, mass, eps: float = 1e-15,
+                          empty_fill: float = -10.0):
+    """``num / max(mass, eps)`` with empty-cluster rows set to
+    ``empty_fill`` (reference: em_dirichlet.py:217-222). Returns
+    (y [..., K, d], nonzero mask [..., K, 1]). Shared by the full-width
+    and compact EM steps so the reference-parity constants live once."""
+    y = num / jnp.maximum(mass, eps)[..., :, None]
+    nonzero = (mass > eps)[..., :, None]
+    return jnp.where(nonzero, y, empty_fill), nonzero
+
+
 def weighted_log_means(u, log_query, eps: float = 1e-15, empty_fill: float = -10.0):
     """Per-cluster weighted means of log-features, the MM constant ``y_cst``.
 
@@ -190,7 +201,4 @@ def weighted_log_means(u, log_query, eps: float = 1e-15, empty_fill: float = -10
     """
     u_sum = jnp.sum(u, axis=-2)                                   # [..., K]
     num = f32_einsum("...nk,...nd->...kd", u, log_query)
-    y = num / jnp.maximum(u_sum, eps)[..., :, None]
-    nonzero = (u_sum > eps)[..., :, None]
-    y = jnp.where(nonzero, y, empty_fill)
-    return y, nonzero
+    return clamped_cluster_means(num, u_sum, eps=eps, empty_fill=empty_fill)

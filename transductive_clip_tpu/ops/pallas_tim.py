@@ -34,17 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-12
-_LOG_EPS = math.log(_EPS)
+from .common import TIM_EPS
+from .pallas_dirichlet import _round_up
+
+_LOG_EPS = math.log(TIM_EPS)
 _NEG_BIG = -1e30
 
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
-
 def _support_grad_kernel(scal_ref, x_ref, y_ref, w_ref, w2_ref, out_ref, *,
-                         n_class, n_support, block_rows, ce_kind):
+                         n_class, n_support, block_rows, ce_kind, f32_dots):
     """Grid (task, row_block); out [1, Kp, dp] accumulated over row blocks.
 
     scal_ref (SMEM): [temp, scale, alpha_value]. x/w arrive bf16 in
@@ -66,10 +64,14 @@ def _support_grad_kernel(scal_ref, x_ref, y_ref, w_ref, w2_ref, out_ref, *,
     w = w_ref[0]                                   # [Kp, dp]
     y = y_ref[0]                                   # [nb, 1] int32
 
+    # Mosaic only requests fp32 MXU contraction when Precision.HIGHEST is
+    # set explicitly — fp32 operands alone still contract bf16-demoted
+    dot_prec = jax.lax.Precision.HIGHEST if f32_dots else None
     xw = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_prec,
     )                                              # [nb, Kp]
     logits = temp * (xw - w2_ref[0])
 
@@ -102,6 +104,7 @@ def _support_grad_kernel(scal_ref, x_ref, y_ref, w_ref, w2_ref, out_ref, *,
         g.astype(x.dtype), x,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_prec,
     )                                              # [Kp, dp]
 
 
@@ -151,7 +154,7 @@ def pallas_tim_support_grad(support, y_s, weights, temp, scale, alpha_value,
 
     kernel = partial(
         _support_grad_kernel, n_class=n_class, n_support=n_support,
-        block_rows=nb, ce_kind=ce_kind,
+        block_rows=nb, ce_kind=ce_kind, f32_dots=(precision == "highest"),
     )
     out = pl.pallas_call(
         kernel,
