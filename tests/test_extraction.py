@@ -138,6 +138,33 @@ def test_disk_to_evaluator_end_to_end(image_dataset):
     assert os.path.exists("data/eurosat/saved_features/test_softmax_RN50_T30.plk")
 
 
+def test_feature_store_backend_end_to_end(image_dataset):
+    """feature_store='npz' routes extraction AND the evaluator through the
+    npz backend (suffix-dispatched; no pickle involved)."""
+    from transductive_clip_tpu.core.config import load_full_config
+    from transductive_clip_tpu.eval.zero_shot import EvaluatorZeroShot
+    from transductive_clip_tpu.models.clip.preprocess import make_preprocess
+
+    args = load_full_config(
+        opts=["dataset", "eurosat", "method", "hard_kmeans", "shots", "0",
+              "number_tasks", "2", "batch_size", "2", "n_query", "6",
+              "backbone", "RN50", "T", "30", "num_classes_test", "3",
+              "k_eff_min", "2", "k_eff_max", "3", "iter", "3",
+              "save_results", "False", "feature_store", "npz"],
+        config_root=os.path.join(os.path.dirname(__file__), "..", "config"),
+    )
+    args.dataset_path = image_dataset
+    args.root = "data"
+
+    ev = EvaluatorZeroShot(args=args)
+    acc, ci = ev.run_full_evaluation(
+        model=StubModel(), preprocess=make_preprocess(16)
+    )
+    assert 0.0 <= acc <= 1.0
+    assert os.path.exists("data/eurosat/saved_features/test_softmax_RN50_T30.npz")
+    assert not os.path.exists("data/eurosat/saved_features/test_softmax_RN50_T30.plk")
+
+
 def test_multi_temperature_extraction(image_dataset):
     from transductive_clip_tpu.models.clip.preprocess import make_preprocess
 

@@ -68,17 +68,18 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
     reference: src/utils.py:251-264). Defaults to [args.T].
     """
     root = getattr(args, "root", "data")
+    store = str(args.get("feature_store", "plk"))
     if list_T is None:
         list_T = [args.T]
     missing = []
     for split in splits:
         if args.use_softmax_feature:
             for T in list_T:
-                path = softmax_cache_path(args.dataset, split, args.backbone, T, root=root)
+                path = softmax_cache_path(args.dataset, split, args.backbone, T, root=root, store=store)
                 if not os.path.exists(path):
                     missing.append((split, T, path))
         else:
-            path = visual_cache_path(args.dataset, split, args.backbone, root=root)
+            path = visual_cache_path(args.dataset, split, args.backbone, root=root, store=store)
             if not os.path.exists(path):
                 missing.append((split, None, path))
     if not missing:
@@ -133,8 +134,11 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
             if T is None:
                 out = embeddings
             else:
-                logits = T * embeddings @ text_features.T
-                logits -= logits.max(axis=-1, keepdims=True)
-                e = np.exp(logits)
-                out = e / e.sum(axis=-1, keepdims=True)
+                # in-place softmax: one [N, n_class] buffer instead of three
+                # (logits/exp/normalized are ~5 GB each at ImageNet scale)
+                out = embeddings @ text_features.T
+                out *= T
+                out -= out.max(axis=-1, keepdims=True)
+                np.exp(out, out=out)
+                out /= out.sum(axis=-1, keepdims=True)
             save_feature_cache(path, out, all_labels)

@@ -56,12 +56,13 @@ class EvaluatorFewShot:
     def cache_paths(self):
         args = self.args
         root = getattr(args, "root", "data")
+        store = str(args.get("feature_store", "plk"))
         if args.use_softmax_feature:
-            support = softmax_cache_path(args.dataset, "train", args.backbone, args.T, root=root)
-            query = softmax_cache_path(args.dataset, args.used_test_set, args.backbone, args.T, root=root)
+            support = softmax_cache_path(args.dataset, "train", args.backbone, args.T, root=root, store=store)
+            query = softmax_cache_path(args.dataset, args.used_test_set, args.backbone, args.T, root=root, store=store)
         else:
-            support = visual_cache_path(args.dataset, "train", args.backbone, root=root)
-            query = visual_cache_path(args.dataset, args.used_test_set, args.backbone, root=root)
+            support = visual_cache_path(args.dataset, "train", args.backbone, root=root, store=store)
+            query = visual_cache_path(args.dataset, args.used_test_set, args.backbone, root=root, store=store)
         return support, query
 
     def run_full_evaluation(self, model=None, preprocess=None):
@@ -157,8 +158,14 @@ class EvaluatorFewShot:
         # label -> n_class-1-label (support covers every class), and the
         # softmax column permutation is a reversed slice — both exact
         # (tests assert equality with the host generator path).
+        # the constant-flip remap/column reversal is exact only when support
+        # labels are exactly {0..n_class-1}: check the max too, not just the
+        # distinct count (labels {0..998, 1000} would silently corrupt)
+        _supp_unique = np.unique(np.asarray(support_labels))
         device_gather = bool(args.get("device_gather", True)) and (
-            len(np.unique(np.asarray(support_labels))) == int(args.n_class)
+            len(_supp_unique) == int(args.n_class)
+            and int(_supp_unique.max()) == int(args.n_class) - 1
+            and int(_supp_unique.min()) == 0
         )
         if device_gather:
             import jax.numpy as jnp
@@ -172,13 +179,17 @@ class EvaluatorFewShot:
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
+        # sampler pools are RNG-free functions of the constant label arrays:
+        # build them once, not per batch (the reference rebuilds per batch,
+        # eval_few_shot.py:151-157 — an O(n_class * N) host scan each time;
+        # hoisting is draw-order exact since only __iter__ consumes rng)
+        sampler = CategoriesSamplerFewShot(
+            args.batch_size, args.k_eff, args.n_class, args.shots,
+            args.n_query, force_query_size=True, rng=rng,
+            support_draw=str(args.get("support_draw", "vectorized")),
+        )
+        sampler.create_list_classes(support_labels, query_labels)
         def make_batch():
-            sampler = CategoriesSamplerFewShot(
-                args.batch_size, args.k_eff, args.n_class, args.shots,
-                args.n_query, force_query_size=True, rng=rng,
-                support_draw=str(args.get("support_draw", "vectorized")),
-            )
-            sampler.create_list_classes(support_labels, query_labels)
             if device_gather:
                 # keep the reference's draw order: query first, then
                 # support (matches the host loader construction below)

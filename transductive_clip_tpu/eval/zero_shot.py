@@ -101,14 +101,15 @@ class EvaluatorZeroShot:
     # ------------------------------------------------------------------
     def query_cache_path(self):
         args = self.args
+        store = str(args.get("feature_store", "plk"))
         if args.use_softmax_feature:
             return softmax_cache_path(
                 args.dataset, args.used_test_set, args.backbone, args.T,
-                root=getattr(args, "root", "data"),
+                root=getattr(args, "root", "data"), store=store,
             )
         return visual_cache_path(
             args.dataset, args.used_test_set, args.backbone,
-            root=getattr(args, "root", "data"),
+            root=getattr(args, "root", "data"), store=store,
         )
 
     def run_full_evaluation(self, model=None, preprocess=None):
@@ -157,14 +158,17 @@ class EvaluatorZeroShot:
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
+        # pools are RNG-free functions of the constant labels: build once
+        # (the reference rebuilds per batch, eval_zero_shot.py:154-156;
+        # hoisting is draw-order exact since only __iter__ consumes rng)
+        sampler = CategoriesSamplerZeroShot(
+            args.batch_size, args.k_eff, args.n_class, args.n_query,
+            force_query_size=True, rng=rng,
+        )
+        sampler.create_list_classes(labels)
         with trace_if_requested(args.get("profile_dir")):
             for _ in range(n_batches):
                 with timer.phase("sampling"):
-                    sampler = CategoriesSamplerZeroShot(
-                        args.batch_size, args.k_eff, args.n_class, args.n_query,
-                        force_query_size=True, rng=rng,
-                    )
-                    sampler.create_list_classes(labels)
                     if device_gather:
                         idx = np.stack(list(SamplerQueryZeroShot(sampler)))
                         tasks = {

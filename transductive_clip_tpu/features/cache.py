@@ -20,21 +20,43 @@ import numpy as np
 from ..core.io import load_pickle, save_pickle
 
 
-def softmax_cache_path(dataset, set_name, backbone, T, root="data"):
+# config `feature_store` -> cache filename suffix (features/store.py)
+_SUFFIXES = {"plk": ".plk", "npz": ".npz", "orbax": ".orbax"}
+
+
+def _ext(store):
+    try:
+        return _SUFFIXES[store]
+    except KeyError:
+        raise ValueError(
+            f"Unknown feature_store {store!r}; choose from {sorted(_SUFFIXES)}"
+        ) from None
+
+
+def softmax_cache_path(dataset, set_name, backbone, T, root="data",
+                       store="plk"):
     return os.path.join(
         root, dataset, "saved_features",
-        f"{set_name}_softmax_{backbone}_T{T}.plk",
+        f"{set_name}_softmax_{backbone}_T{T}{_ext(store)}",
     )
 
 
-def visual_cache_path(dataset, set_name, backbone, root="data"):
+def visual_cache_path(dataset, set_name, backbone, root="data", store="plk"):
     return os.path.join(
-        root, dataset, "saved_features", f"{set_name}_visual_{backbone}.plk"
+        root, dataset, "saved_features",
+        f"{set_name}_visual_{backbone}{_ext(store)}",
     )
 
 
 def load_feature_cache(path):
-    """Returns (features [N, d] float32 ndarray, labels [N] int64 ndarray)."""
+    """Returns (features [N, d] float32 ndarray, labels [N] int64 ndarray).
+
+    Non-pickle caches (npz/orbax, suffix-encoded) dispatch to their store
+    backend."""
+    if not path.endswith(".plk"):
+        from .store import store_for_path
+
+        return store_for_path(path).load(path)
     d = load_pickle(path)
     feats = np.asarray(d["concat_features"], np.float32)
     labels = np.asarray(d["concat_labels"], np.int64)
@@ -42,6 +64,10 @@ def load_feature_cache(path):
 
 
 def save_feature_cache(path, features, labels):
+    if not path.endswith(".plk"):
+        from .store import store_for_path
+
+        return store_for_path(path).save(path, features, labels)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     save_pickle(
         path,

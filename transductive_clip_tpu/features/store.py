@@ -9,8 +9,11 @@ TPU-native alternatives:
   reference implements with pickles; reference: src/utils.py:299-306).
 
 ``open_store(kind)`` returns an object with save(path, features, labels) /
-load(path) -> (features, labels); the evaluators pick the backend from the
-``feature_store`` config key.
+load(path) -> (features, labels). The evaluators and the extraction
+pipeline pick the backend from the ``feature_store`` config key (the cache
+path's suffix encodes it; loading dispatches on the suffix, so mixed
+stores coexist). ``scripts/convert_feature_cache.py`` converts between
+formats.
 """
 
 from __future__ import annotations
@@ -89,3 +92,11 @@ def open_store(kind: str = "plk"):
     if kind not in _STORES:
         raise ValueError(f"Unknown feature store {kind!r}; choose from {sorted(_STORES)}")
     return _STORES[kind]()
+
+
+def store_for_path(path: str):
+    """The store whose suffix matches ``path`` (caches self-describe)."""
+    for cls in _STORES.values():
+        if path.endswith(cls.suffix):
+            return cls()
+    raise ValueError(f"No feature store for path {path!r}")

@@ -181,7 +181,7 @@ def _clustering_accuracy_host(u, query, y_q, cfg, text_features=None):
 
 
 @jax.jit
-def _max_populated_clusters(u, eps=EPS):
+def _max_populated_clusters(u, eps):
     return jnp.max(jnp.sum(jnp.sum(u, axis=1) > eps, axis=-1))
 
 
@@ -192,7 +192,7 @@ def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
     on device — only a scalar crosses to the host (u is ~30 MB at ImageNet
     scale and the transfer link may be slow)."""
     if hasattr(u, "devices"):
-        populated = int(_max_populated_clusters(u))
+        populated = int(_max_populated_clusters(u, eps))
     else:
         u_sum = np.asarray(u).sum(axis=1)
         populated = int((u_sum > eps).sum(axis=-1).max())
