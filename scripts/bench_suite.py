@@ -108,6 +108,14 @@ def main():
                               n_iter=20, iter_mm=1000, hard=False, **prod)
         bench_method("headline_hard_production", REF_HARD,
                      n_iter=10, iter_mm=1000, hard=True, **prod)
+        # opt-in compact_first_iter (see em_dirichlet.py docstring: exact at
+        # protocol-like feature peaking, validate before enabling)
+        bench_method("headline_soft_compact_first_opt_in", REF_SOFT,
+                     n_iter=20, iter_mm=1000, hard=False,
+                     compact_first=True, **prod)
+        bench_method("headline_hard_compact_first_opt_in", REF_HARD,
+                     n_iter=10, iter_mm=1000, hard=True,
+                     compact_first=True, **prod)
         bench_method("reference_exact_soft", REF_SOFT,
                      n_iter=20, iter_mm=1000, hard=False, **exact)
         bench_method("reference_exact_hard", REF_HARD,

@@ -147,6 +147,65 @@ def test_em_gaussian_cov_oracle(rng):
     np.testing.assert_allclose(np.asarray(u_ours, np.float64), u, atol=1e-2)
 
 
+def test_em_gaussian_cov_direct_on_flat_features(rng):
+    """Regression: on flat Dirichlet(0.8) features, near-empty clusters
+    drive s toward 1/EPS and the matmul expansion of the distances
+    catastrophically cancels (flipping ~2% of assignments); the 'direct'
+    (x-w)^2 implementation — the default — must match an fp64 oracle."""
+    n_task, n_query, K = 2, 25, 10
+    x = rng.dirichlet(np.full(K, 0.8), size=(n_task, n_query)).astype(np.float32)
+    lambd, n_iter = float(int(K / 5) * n_query), 6
+
+    # fp64 oracle, reference-shaped
+    u = x.astype(np.float64)
+    v = np.zeros((n_task, K))
+    w = centroids(u, x.astype(np.float64))
+
+    def dev2(u, w):
+        return np.einsum(
+            "tnk,tnkd->tkd", u, (w[:, None, :, :] - x[:, :, None, :]) ** 2
+        )
+
+    s = u.sum(1)[..., None] / np.maximum(dev2(u, w), EPS)
+    for _ in range(n_iter):
+        w = centroids(u, x.astype(np.float64), w_prev=w)
+        counts = u.sum(1)
+        s_new = counts[..., None] / np.maximum(dev2(u, w), EPS)
+        s = np.where((counts > EPS)[..., None], s_new, s)
+        md = np.einsum(
+            "tkd,tnkd->tnk", s, (x[:, :, None, :] - w[:, None, :, :]) ** 2
+        )
+        det = 0.5 * np.log(s + EPS).sum(-1)[:, None, :]
+        u = softmax(-0.5 * md + det + lambd * v[:, None, :] / n_query)
+        v = np.log(u.mean(1) + EPS) + 1.0
+
+    u_direct, _ = em_gaussian_cov_infer(
+        jnp.asarray(x), jnp.asarray(x), jnp.float32(lambd), n_iter=n_iter,
+        dist_impl="direct",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_direct).argmax(-1), u.argmax(-1)
+    )
+
+
+def test_em_gaussian_cov_impls_agree_when_well_conditioned(rng):
+    x, _ = setup(rng)
+    K, n_query = x.shape[2], x.shape[1]
+    lambd = float(int(K / 5) * n_query)
+    u_d, _ = em_gaussian_cov_infer(
+        jnp.asarray(x), jnp.asarray(x), jnp.float32(lambd), n_iter=4,
+        dist_impl="direct",
+    )
+    u_m, _ = em_gaussian_cov_infer(
+        jnp.asarray(x), jnp.asarray(x), jnp.float32(lambd), n_iter=4,
+        dist_impl="matmul",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_d).argmax(-1), np.asarray(u_m).argmax(-1)
+    )
+    np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_m), atol=5e-3)
+
+
 def test_clustering_accuracy_oracle(rng):
     """The zero-shot accuracy path (prototypes -> Hungarian matching ->
     accuracy) against a direct scipy computation."""

@@ -16,18 +16,20 @@ and hard_em_dirichlet.py:124-271) re-designed for TPU:
   clusters are non-empty. The alpha solve runs only on the top-C clusters
   by mass (C = n_query + margin); the remaining rows keep their previous
   alpha exactly as the reference does for empty clusters (reference:
-  em_dirichlet.py:224-226). Iteration 1 compacts too: with alpha
-  initialized to ones the Dirichlet logits cache is analytic (l3 = 0,
-  l12 = lgamma(K)), so no full-width solve ever runs. At ImageNet scale
-  (K=1000, n_query=75) this cuts the solver's work ~10x. From iteration 2
-  on this is exact whenever at most C clusters carry query mass (the
-  typical underflow regime; guaranteed for the hard variant) and the
-  wrapper's post-run sparsity check warns otherwise; iteration 1 (dense u)
-  instead rests on the lambda*v concentration argument, verified
-  prediction-identical on peaked and near-flat features
-  (tests/test_compaction.py) — ``compact_first_iter: False`` restores the
-  full-width first solve, ``compact_clusters: False`` the fully exact
-  path.
+  em_dirichlet.py:224-226). From iteration 2 on this is exact whenever at
+  most C clusters carry query mass (the typical underflow regime;
+  guaranteed for the hard variant) and the wrapper's post-run sparsity
+  check warns otherwise. ``compact_first_iter: True`` (opt-in, ~2x again:
+  291 -> 633 tasks/s at ImageNet scale) compacts iteration 1 too, using
+  the analytic alpha=ones logits cache (l3 = 0, l12 = lgamma(K)) so no
+  full-width solve ever runs — but iteration 1's u is the dense raw
+  features, so this rests only on the lambda*v concentration argument: it
+  is prediction-identical at protocol-like feature peaking (verified up to
+  K=1000, tests/test_compaction.py) yet can deviate on very flat features,
+  and no post-run check can detect an iteration-1 deviation. It therefore
+  defaults OFF; enable it after spot-checking compact_first_iter
+  True-vs-False agreement on your own features. ``compact_clusters:
+  False`` is the fully exact path.
 """
 
 from __future__ import annotations
@@ -54,15 +56,17 @@ _COMPACT_MARGIN = 16
 
 
 def _finish(u, logits_12, logits_3, lambd, n_query, n_class, hard, con):
+    # v (dual of the class proportions) is a pure function of the incoming
+    # u, recomputed here each iteration (reference: em_dirichlet.py:145-151)
     v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
     logits = logits_12[:, None, :] + logits_3
     u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
     if hard:
         u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-    return con(u, "dp", None, None), v
+    return con(u, "dp", None, None)
 
 
-def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
+def _em_step_full(u, alpha_old, log_query, lambd, n_query, n_class,
                   iter_mm, solver, hard, con):
     """One full-width EM iteration (all K cluster rows solved)."""
     y_cst, nonzero = weighted_log_means(u, log_query, eps=EPS)
@@ -71,11 +75,11 @@ def _em_step_full(u, v, alpha_old, log_query, lambd, n_query, n_class,
     # keep previous alpha rows for empty clusters (reference: :224-226)
     alpha = con(jnp.where(nonzero, alpha, alpha_old), "dp", None, "tp")
     l12, l3 = dirichlet_logits_cache(log_query, alpha)
-    u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
-    return u, v, alpha, l12, l3
+    u = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
+    return u, alpha, l12, l3
 
 
-def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
+def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
                      n_class, iter_mm, solver, hard, n_compact, con):
     """EM iteration solving alpha only for the top-``n_compact`` clusters.
 
@@ -104,8 +108,8 @@ def _em_step_compact(u, v, alpha_old, l12, l3, log_query, lambd, n_query,
     l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query)
     l3 = con(l3, "dp", None, None)
 
-    u, v = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
-    return u, v, alpha, l12, l3
+    u = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
+    return u, alpha, l12, l3
 
 
 def _criterion(alpha_old, alpha):
@@ -124,7 +128,7 @@ def _criterion(alpha_old, alpha):
                                    "mesh"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                        solver: str = "mm", compact: bool = True,
-                       compact_first: bool = True,
+                       compact_first: bool = False,
                        early_stop: bool = True,
                        early_stop_tol: float = 1e-6,
                        mesh=None):
@@ -149,7 +153,6 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     query = con(query, "dp", None, None)
     log_query = jnp.log(query + EPS)
     u = query
-    v = jnp.zeros((n_task, n_class), jnp.float32)
     alpha = con(jnp.ones((n_task, n_class, n_class), jnp.float32),
                 "dp", None, "tp")
 
@@ -158,53 +161,47 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
 
     alpha_old = alpha
     if use_compact and compact_first:
-        # Iteration 1 is compact too: with alpha = ones the Dirichlet
-        # logits cache is analytic (l3 = (a-1).log-x = 0, l12 = lgamma(K)),
-        # so only the top-C clusters by raw-feature mass need a solve; the
-        # remaining rows keep alpha = 1 (logit lgamma(K)). This removes
-        # the one full-width [N, K, K] solve + lgamma pass, which dominated
-        # the early-stopped runtime at ImageNet scale (291 -> 633 tasks/s).
-        # Caveat: at iteration 1 u = raw softmax features is dense, so
-        # unlike later iterations this rests only on the lambda*v
-        # concentration argument — the post-run sparsity check inspects the
-        # final assignments and cannot detect an iteration-1 deviation.
-        # Verified prediction-identical vs the exact path on peaked AND
-        # near-flat features (tests/test_compaction.py); set
-        # ``compact_first_iter: False`` to solve iteration 1 full-width
-        # while keeping per-iteration compaction, or
-        # ``compact_clusters: False`` for the fully exact path.
+        # Opt-in: iteration 1 compact too, via the analytic alpha = ones
+        # logits cache (l3 = (a-1).log-x = 0, l12 = lgamma(K)); only the
+        # top-C clusters by raw-feature mass get solved, the rest keep
+        # alpha = 1. Removes the full-width [N, K, K] solve + lgamma pass
+        # that dominates the early-stopped runtime (291 -> 633 tasks/s at
+        # ImageNet scale). See the module docstring for why this defaults
+        # off: iteration 1's u is dense, the approximation rests only on
+        # the lambda*v concentration argument, and an iteration-1
+        # deviation is not detectable post hoc.
         import math
 
         l12 = jnp.full((n_task, n_class), math.lgamma(n_class), jnp.float32)
         l3 = con(jnp.zeros((n_task, n_query, n_class), jnp.float32),
                  "dp", None, None)
-        u, v, alpha, l12, l3 = _em_step_compact(
-            u, v, alpha, l12, l3, log_query, lambd, n_query, n_class,
+        u, alpha, l12, l3 = _em_step_compact(
+            u, alpha, l12, l3, log_query, lambd, n_query, n_class,
             iter_mm, solver, hard, n_compact, con,
         )
     else:
-        u, v, alpha, l12, l3 = _em_step_full(
-            u, v, alpha, log_query, lambd, n_query, n_class, iter_mm, solver,
+        u, alpha, l12, l3 = _em_step_full(
+            u, alpha, log_query, lambd, n_query, n_class, iter_mm, solver,
             hard, con,
         )
     first_crit, first_max = _criterion(alpha_old, alpha)
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, v, alpha_old, l12, l3, it, crits, _ = carry
+        u, alpha_old, l12, l3, it, crits, _ = carry
         if use_compact:
-            u, v, alpha, l12, l3 = _em_step_compact(
-                u, v, alpha_old, l12, l3, log_query, lambd, n_query,
+            u, alpha, l12, l3 = _em_step_compact(
+                u, alpha_old, l12, l3, log_query, lambd, n_query,
                 n_class, iter_mm, solver, hard, n_compact, con,
             )
         else:
-            u, v, alpha, l12, l3 = _em_step_full(
-                u, v, alpha_old, log_query, lambd, n_query, n_class,
+            u, alpha, l12, l3 = _em_step_full(
+                u, alpha_old, log_query, lambd, n_query, n_class,
                 iter_mm, solver, hard, con,
             )
         crit, crit_max = _criterion(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, v, alpha, l12, l3, it + 1, crits, crit_max
+        return u, alpha, l12, l3, it + 1, crits, crit_max
 
     def cond(carry):
         *_, it, _, crit_max = carry
@@ -213,9 +210,9 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, _, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, _, criterions, _ = jax.lax.while_loop(
         cond, body,
-        (u, v, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
+        (u, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
     )
     return u, criterions
 
@@ -240,7 +237,7 @@ class EM_DIRICHLET(TransductiveMethod):
             solver = "pallas" if jax.default_backend() == "tpu" else "minka"
         self.solver = solver
         self.compact = bool(args.get("compact_clusters", True))
-        self.compact_first = bool(args.get("compact_first_iter", True))
+        self.compact_first = bool(args.get("compact_first_iter", False))
         self.early_stop = bool(args.get("early_stop", True))
 
     def _check_compaction(self, u, n_query, n_class):

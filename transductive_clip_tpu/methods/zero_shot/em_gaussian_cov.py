@@ -3,11 +3,21 @@
 Adds a per-cluster diagonal precision `s` estimated in closed form each
 iteration (reference: src/methods/zero_shot/em_gaussian_cov.py:98-257).
 
-TPU note: both the precision-weighted distance and the weighted second
-moment are expanded into batched matmuls so no [N, n, K, C] temporary is
-materialized:
-  sum_d s_kd (x_nd - w_kd)^2 = (x^2) @ s^T - 2 x @ (s*w)^T + sum_d s*w^2
-  sum_n u_nk (x_nd - w_kd)^2 = u^T (x^2) - 2 w * (u^T x) + counts * w^2
+Two implementations of the precision-weighted distances
+(``gaussian_cov_dist_impl`` config):
+
+* ``direct`` (default) — the reference's (x - w)^2 form, evaluated in
+  class chunks so the [N, n, K, C] temporary never fully materializes.
+  Numerically faithful: near-empty clusters drive s toward 1/EPS, where
+  the direct form multiplies the huge precision by an exactly-zero
+  squared deviation.
+* ``matmul`` — MXU expansion
+    sum_d s_kd (x_nd - w_kd)^2 = (x^2) @ s^T - 2 x @ (s*w)^T + sum_d s*w^2
+  (and similarly for the weighted second moment). Faster, but the three
+  terms are each ~s-magnitude and cancel: with degenerate clusters
+  (s ~ 1/EPS) the cancellation is catastrophic and assignments can flip
+  vs the reference. Equivalence with ``direct`` is tested in the
+  well-conditioned regime.
 """
 
 from __future__ import annotations
@@ -22,13 +32,28 @@ from ..base import TransductiveMethod, init_soft_assignments
 from .soft_kmeans import weighted_centroids
 from ...ops.precision import f32_einsum
 
+_CHUNK = 128
+
 
 def _weighted_sq_dev(u, query, query_sq, w):
-    """d_q[t, k, d] = sum_n u[t,n,k] * (w[t,k,d] - x[t,n,d])^2."""
+    """d_q[t, k, d] = sum_n u[t,n,k] * (w[t,k,d] - x[t,n,d])^2 (matmuls)."""
     counts = jnp.sum(u, axis=1)                                   # [N, K]
     ux = f32_einsum("tnk,tnd->tkd", u, query)
     ux2 = f32_einsum("tnk,tnd->tkd", u, query_sq)
     return ux2 - 2.0 * w * ux + counts[..., None] * w * w
+
+
+def _weighted_sq_dev_direct(u, query, w):
+    """Reference-shaped (x - w)^2 form, chunked over classes
+    (reference: em_gaussian_cov.py:172-181)."""
+    outs = []
+    for c0 in range(0, w.shape[1], _CHUNK):
+        wc = w[:, c0:c0 + _CHUNK]                                 # [N, c, d]
+        diff = wc[:, None, :, :] - query[:, :, None, :]           # [N, n, c, d]
+        outs.append(
+            f32_einsum("tnk,tnkd->tkd", u[:, :, c0:c0 + _CHUNK], diff * diff)
+        )
+    return jnp.concatenate(outs, axis=1)
 
 
 def _precision_logits(query, query_sq, w, s):
@@ -39,12 +64,32 @@ def _precision_logits(query, query_sq, w, s):
     return -0.5 * (xs - 2.0 * xsw + sw2)
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def em_gaussian_cov_infer(query, u0, lambd, n_iter: int):
+def _precision_logits_direct(query, w, s):
+    """Reference-shaped -1/2 sum_d s_kd (x_nd - w_kd)^2, chunked over
+    classes (reference: em_gaussian_cov.py:106-115)."""
+    outs = []
+    for c0 in range(0, w.shape[1], _CHUNK):
+        wc = w[:, c0:c0 + _CHUNK]
+        sc = s[:, c0:c0 + _CHUNK]
+        diff = query[:, :, None, :] - wc[:, None, :, :]           # [N, n, c, d]
+        outs.append(jnp.sum(diff * diff * sc[:, None, :, :], axis=-1))
+    return -0.5 * jnp.concatenate(outs, axis=2)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "dist_impl"))
+def em_gaussian_cov_infer(query, u0, lambd, n_iter: int,
+                          dist_impl: str = "direct"):
     n_task, n_query, n_class = u0.shape
     query_sq = query * query
+    direct = dist_impl == "direct"
+
+    def sq_dev(u, w):
+        if direct:
+            return _weighted_sq_dev_direct(u, query, w)
+        return _weighted_sq_dev(u, query, query_sq, w)
+
     w0 = weighted_centroids(u0, query)
-    d0 = jnp.maximum(_weighted_sq_dev(u0, query, query_sq, w0), EPS)
+    d0 = jnp.maximum(sq_dev(u0, w0), EPS)
     s0 = jnp.sum(u0, axis=1)[..., None] / d0
     v0 = jnp.zeros((n_task, n_class), jnp.float32)
 
@@ -53,11 +98,14 @@ def em_gaussian_cov_infer(query, u0, lambd, n_iter: int):
         w = weighted_centroids(u, query, w_prev=w)
         # precision update, keeping previous values for empty clusters
         counts = jnp.sum(u, axis=1)
-        d_q = jnp.maximum(_weighted_sq_dev(u, query, query_sq, w), EPS)
+        d_q = jnp.maximum(sq_dev(u, w), EPS)
         s_new = counts[..., None] / d_q
         s = jnp.where((counts > EPS)[..., None], s_new, s)
         # assignments with the log-determinant term
-        logits = _precision_logits(query, query_sq, w, s)
+        if direct:
+            logits = _precision_logits_direct(query, w, s)
+        else:
+            logits = _precision_logits(query, query_sq, w, s)
         det = 0.5 * jnp.sum(jnp.log(s + EPS), axis=-1)[:, None, :]
         u_new = jax.nn.softmax(
             logits + det + lambd * v[:, None, :] / n_query, axis=2
@@ -85,5 +133,7 @@ class EM_GAUSSIAN_COV(TransductiveMethod):
         self._log(f" ==> Executing EM-GAUSSIAN-COV with T = {self.args.T}")
         u0 = init_soft_assignments(task["x_q"], self.args, task.get("text_features"))
         return em_gaussian_cov_infer(
-            task["x_q"], u0, jnp.float32(self.lambd), n_iter=int(self.args.iter)
+            task["x_q"], u0, jnp.float32(self.lambd),
+            n_iter=int(self.args.iter),
+            dist_impl=str(self.args.get("gaussian_cov_dist_impl", "direct")),
         )

@@ -23,10 +23,14 @@ def make_preprocess(image_size: int = 224, dtype: str = "float32"):
     def preprocess(img) -> np.ndarray:
         """PIL image -> [H, W, 3] (uint8 raw, or float32 CLIP-normalized)."""
         w, h = img.size
-        scale = image_size / min(w, h)
-        img = img.resize(
-            (round(w * scale), round(h * scale)), Image.BICUBIC
-        )
+        # torchvision Resize(int) semantics (used by the reference's
+        # clip.load transform): short side -> image_size exactly, long side
+        # TRUNCATED with int(), not rounded
+        if w <= h:
+            new_w, new_h = image_size, int(image_size * h / w)
+        else:
+            new_w, new_h = int(image_size * w / h), image_size
+        img = img.resize((new_w, new_h), Image.BICUBIC)
         w, h = img.size
         left = (w - image_size) // 2
         top = (h - image_size) // 2

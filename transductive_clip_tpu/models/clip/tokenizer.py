@@ -82,11 +82,14 @@ class SimpleTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        # Python re lacks \p{L}/\p{N}; str.isalpha/isdigit-equivalent classes
-        # cover the ASCII prompts used by the dataset templates.
+        # Python re lacks \p{L}/\p{N}; the stdlib-Unicode equivalents are
+        # [^\W\d_] for letters and \d for digits (so accented classnames
+        # like 'café' stay one word token, as with OpenAI's regex pattern);
+        # underscore counts as punctuation like the reference's
+        # [^\s\p{L}\p{N}] class.
         self.pat = re.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+            r"[^\W\d_]+|\d|(?:[^\w\s]|_)+",
             re.IGNORECASE,
         )
 

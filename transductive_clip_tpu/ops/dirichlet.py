@@ -74,28 +74,42 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
 
     alpha0, y_cst: [..., K, d]. Returns the converged alpha.
 
-    Semantics match the reference loop: up to ``iter_mm`` iterations, stopping
-    when the global relative change ||a' - a||^2 / ||a||^2 measured every
-    ``check_every`` iterations drops below ``tol``
-    (reference: em_dirichlet.py:160-177).
+    Stop semantics match the reference loop exactly: at iteration indices
+    l = 50, 100, ... the SINGLE-STEP relative change
+    ||a_{l+1} - a_l||^2 / ||a_l||^2 is tested against ``tol`` and the loop
+    breaks keeping a_{l+1}; at most ``iter_mm`` updates run
+    (reference: em_dirichlet.py:160-177 — the criterion is the one-step
+    delta at the checkpoint, not the change across the 50-iteration block).
     """
+    first = min(check_every, iter_mm)
+    alpha = jax.lax.fori_loop(
+        0, first, lambda _, a: _mm_iteration(a, y_cst), alpha0
+    )
 
     def block(carry):
         alpha, it, _ = carry
-        prev = alpha
-        alpha = jax.lax.fori_loop(
-            0, check_every, lambda _, a: _mm_iteration(a, y_cst), alpha
-        )
-        num = jnp.sum((alpha - prev) ** 2)
-        den = jnp.sum(prev * prev)
+        # checked step: one update, criterion on its single-step delta
+        alpha_new = _mm_iteration(alpha, y_cst)
+        num = jnp.sum((alpha_new - alpha) ** 2)
+        den = jnp.sum(alpha * alpha)
         crit = num / jnp.maximum(den, 1e-30)
-        return alpha, it + check_every, crit
+        # remaining block only runs when not converged (reference breaks
+        # immediately at the checkpoint)
+        alpha_out = jax.lax.cond(
+            crit < tol,
+            lambda a: a,
+            lambda a: jax.lax.fori_loop(
+                0, check_every - 1, lambda _, x: _mm_iteration(x, y_cst), a
+            ),
+            alpha_new,
+        )
+        return alpha_out, it + check_every, crit
 
     def cond(carry):
         _, it, crit = carry
         return jnp.logical_and(it < iter_mm, crit >= tol)
 
-    init = (alpha0, jnp.array(0, jnp.int32), jnp.array(jnp.inf, jnp.float32))
+    init = (alpha, jnp.array(first, jnp.int32), jnp.array(jnp.inf, jnp.float32))
     alpha, _, _ = jax.lax.while_loop(cond, block, init)
     return alpha
 

@@ -26,10 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dirichlet import TRIGAMMA_1 as _TRIGAMMA_1
 from .special import digamma_pos, inv_digamma, lgamma_pos
-
-# polygamma(1, 1) = pi^2/6 (curvature limit at alpha -> 0; see ops/dirichlet.py)
-_TRIGAMMA_1 = 1.6449340668482264
 
 
 def _round_up(x, m):
@@ -103,24 +101,36 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
         new = (-b + jnp.sqrt(b * b + 4.0 * curv)) / (2.0 * curv)
         return jnp.where(valid, new, 0.0)
 
+    first = min(check_every, iter_mm)
+
     def block(carry):
         alpha, it, _ = carry
-        new = jax.lax.fori_loop(
-            0, check_every, lambda _, a: mm_iter(a), alpha
-        )
-        # padded lanes/rows excluded from the stop criterion
+        # checked step: single-step delta at the checkpoint, as the
+        # reference's l % 50 == 0 test (em_dirichlet.py:169-175)
+        new = mm_iter(alpha)
         d = jnp.where(valid, new - alpha, 0.0)
         num = jnp.sum(d * d)
         den = jnp.maximum(jnp.sum(jnp.where(valid, alpha, 0.0) ** 2), 1e-30)
-        return new, it + check_every, num / den
+        crit = num / den
+        new = jax.lax.cond(
+            crit < tol,
+            lambda a: a,
+            lambda a: jax.lax.fori_loop(
+                0, check_every - 1, lambda _, x: mm_iter(x), a
+            ),
+            new,
+        )
+        return new, it + check_every, crit
 
     def cond(carry):
         _, it, crit = carry
         return jnp.logical_and(it < iter_mm, crit >= tol)
 
     init = (
-        jnp.where(valid, alpha0, 0.0),
-        jnp.zeros((), jnp.int32),
+        jax.lax.fori_loop(
+            0, first, lambda _, a: mm_iter(a), jnp.where(valid, alpha0, 0.0)
+        ),
+        jnp.full((), first, jnp.int32),
         jnp.full((), jnp.inf, jnp.float32),
     )
     alpha, _, _ = jax.lax.while_loop(cond, block, init)
