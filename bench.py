@@ -71,8 +71,10 @@ def main():
 
     # correctness guard: the timed computation must actually cluster the
     # separable synthetic tasks (catches perf-only regressions that break
-    # the math)
-    clusters = np.asarray(u).argmax(-1)
+    # the math); argmax on device — only [N, n] ints cross the slow link
+    import jax.numpy as jnp
+
+    clusters = np.asarray(jnp.argmax(u, axis=-1))
     purities = []
     for t in range(4):
         for c in np.unique(y_np[t]):
@@ -103,6 +105,8 @@ def main():
 if __name__ == "__main__":
     try:
         main()
+    except AssertionError:
+        raise                      # real correctness regression: no retry
     except Exception:
         # tunneled TPU backends occasionally throw transient
         # FAILED_PRECONDITION errors; one retry keeps driver runs alive

@@ -34,22 +34,16 @@ def maybe_load_clip(args):
     """Load the JAX CLIP model only when caches are missing."""
     import os
 
-    from transductive_clip_tpu.eval.few_shot import EvaluatorFewShot as _F
-    from transductive_clip_tpu.eval.zero_shot import EvaluatorZeroShot as _Z
+    from transductive_clip_tpu.eval.extraction import text_cache_path
 
     if args.shots > 0:
-        paths = _F(args=args).cache_paths()
+        paths = EvaluatorFewShot(args=args).cache_paths()
     else:
-        paths = (_Z(args=args).query_cache_path(),)
+        paths = (EvaluatorZeroShot(args=args).query_cache_path(),)
     need_model = not all(os.path.exists(p) for p in paths)
     if not args.use_softmax_feature:
         # the visual path needs text features for init/matching
-        safe_backbone = str(args.backbone).replace("/", "")
-        text_cache = os.path.join(
-            getattr(args, "root", "data"), args.dataset, "saved_features",
-            f"text_{safe_backbone}.plk",
-        )
-        need_model = need_model or not os.path.exists(text_cache)
+        need_model = need_model or not os.path.exists(text_cache_path(args))
     if not need_model:
         return None, None
     from transductive_clip_tpu.models import clip as clip_jax

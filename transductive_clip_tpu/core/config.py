@@ -68,8 +68,10 @@ def _coerce_value_type(replacement, original, key):
     """Coerce `replacement` to the type of `original` (tuple<->list only)."""
     if original is None or type(replacement) is type(original):
         return replacement
-    # numeric cross-assignment (int -> float slot) is accepted
-    if isinstance(original, float) and isinstance(replacement, int):
+    # numeric cross-assignment (int -> float slot) is accepted; bool is an
+    # int subclass but True/False into a float slot is a typo, not a value
+    if (isinstance(original, float) and isinstance(replacement, int)
+            and not isinstance(replacement, bool)):
         return float(replacement)
     casts = [(tuple, list), (list, tuple)]
     for from_type, to_type in casts:

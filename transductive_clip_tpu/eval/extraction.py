@@ -29,14 +29,20 @@ def _require_model(model, what):
         )
 
 
+def text_cache_path(args):
+    """Cache path for the text prototypes (shared with main.maybe_load_clip's
+    need-model check so the two can never disagree)."""
+    safe_backbone = str(args.backbone).replace("/", "")
+    return os.path.join(
+        getattr(args, "root", "data"), args.dataset, "saved_features",
+        f"text_{safe_backbone}.plk",
+    )
+
+
 def get_text_features(args, model, classnames=None, template=None):
     """L2-normalized CLIP text prototypes for the dataset's classnames
     (reference: src/utils.py:363-377). Cached per dataset/backbone."""
-    root = getattr(args, "root", "data")
-    safe_backbone = str(args.backbone).replace("/", "")
-    cache = os.path.join(
-        root, args.dataset, "saved_features", f"text_{safe_backbone}.plk"
-    )
+    cache = text_cache_path(args)
     if os.path.exists(cache):
         from ..core.io import load_pickle
 

@@ -19,13 +19,16 @@ from .paddle import support_class_means
 from ...ops.precision import f32_einsum
 
 
-def _cosine_logits(w, samples):
+def _cosine_logits(w, samples, dist_impl: str = "matmul"):
     """-1/2 || w_hat - x_hat ||^2 (reference: bdcspn.py:42-57)."""
-    return -0.5 * sq_euclidean(_l2_normalize(samples), _l2_normalize(w))
+    return -0.5 * sq_euclidean(
+        _l2_normalize(samples), _l2_normalize(w), impl=dist_impl
+    )
 
 
-@partial(jax.jit, static_argnames=("n_class", "norm_type"))
-def bdcspn_infer(support, query, y_s, temp, n_class: int, norm_type: str = "L2N"):
+@partial(jax.jit, static_argnames=("n_class", "norm_type", "dist_impl"))
+def bdcspn_infer(support, query, y_s, temp, n_class: int,
+                 norm_type: str = "L2N", dist_impl: str = "matmul"):
     # normalization with train_mean = mean of support (reference: bdcspn.py:161-163)
     train_mean = jnp.mean(support, axis=1, keepdims=True)
     if norm_type == "CL2N":
@@ -41,7 +44,7 @@ def bdcspn_infer(support, query, y_s, temp, n_class: int, norm_type: str = "L2N"
     eta = jnp.mean(support, axis=1, keepdims=True) - jnp.mean(query, axis=1, keepdims=True)
     query_aug = jnp.concatenate([support, query + eta], axis=1)   # [N, s+n, d]
 
-    cos_sim = _cosine_logits(init_prototypes, query_aug)          # [N, s+n, K]
+    cos_sim = _cosine_logits(init_prototypes, query_aug, dist_impl)  # [N, s+n, K]
     u = jax.nn.softmax(temp * cos_sim, axis=-1)
 
     qa_hat = _l2_normalize(query_aug)
@@ -51,7 +54,7 @@ def bdcspn_infer(support, query, y_s, temp, n_class: int, norm_type: str = "L2N"
         / counts
     )
 
-    logits_q = _cosine_logits(prototypes, query)
+    logits_q = _cosine_logits(prototypes, query, dist_impl)
     u_q = jax.nn.softmax(temp * logits_q, axis=-1)
     return u_q
 
@@ -66,5 +69,6 @@ class BDCSPN(FewShotMethod):
             jnp.float32(self.args.temp),
             n_class=int(self.args.num_classes_test),
             norm_type=str(self.args.norm_type),
+            dist_impl=str(self.args.get("distance_impl", "matmul")),
         )
         return u, jnp.zeros((1,), jnp.float32)

@@ -63,7 +63,6 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
                     "dp", None, "tp")
 
     u0 = query
-    v0 = jnp.zeros((n_task, n_class), jnp.float32)
     alpha0 = con(jnp.ones((n_task, n_class, n_class), jnp.float32),
                  "dp", None, "tp")
 
@@ -71,12 +70,13 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
     use_compact = compact and n_class > 2 * n_compact
 
     def finish_step(u, l12, l3):
+        # v (class-proportion dual) is a pure function of the incoming u
         v = jnp.log(jnp.mean(u, axis=1) + EPS) + 1.0
         logits = l12[:, None, :] + l3
         u = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
         if hard:
             u = get_one_hot(jnp.argmax(u, axis=-1), n_class)
-        return con(u, "dp", None, None), v
+        return con(u, "dp", None, None)
 
     def step_full(u, alpha_old):
         u_sum = jnp.sum(u, axis=1)
@@ -86,8 +86,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
         alpha = con(alpha, "dp", None, "tp")
         l12, l3 = dirichlet_logits_cache(log_q, alpha)
-        u, v = finish_step(u, l12, l3)
-        return u, v, alpha, l12, l3
+        u = finish_step(u, l12, l3)
+        return u, alpha, l12, l3
 
     def step_compact(u, alpha_old, l12, l3):
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
@@ -106,8 +106,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         # trick as the zero-shot path; values identical, ~K/C less work)
         l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q)
         l3 = con(l3, "dp", None, None)
-        u, v = finish_step(u, l12, l3)
-        return u, v, alpha, l12, l3
+        u = finish_step(u, l12, l3)
+        return u, alpha, l12, l3
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -116,20 +116,21 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         rel = diff / denom
         return jnp.mean(rel), jnp.max(rel)
 
-    # iteration 1 always solves all K rows
-    u, v, alpha, l12, l3 = step_full(u0, alpha0)
+    # iteration 1 always solves all K rows (every class carries support
+    # statistics, so all alpha rows get their support-anchored fixed point)
+    u, alpha, l12, l3 = step_full(u0, alpha0)
     first_crit, first_max = crit_fn(alpha0, alpha)
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, v, alpha_old, l12, l3, it, crits, _ = carry
+        u, alpha_old, l12, l3, it, crits, _ = carry
         if use_compact:
-            u, v, alpha, l12, l3 = step_compact(u, alpha_old, l12, l3)
+            u, alpha, l12, l3 = step_compact(u, alpha_old, l12, l3)
         else:
-            u, v, alpha, l12, l3 = step_full(u, alpha_old)
+            u, alpha, l12, l3 = step_full(u, alpha_old)
         crit, crit_max = crit_fn(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, v, alpha, l12, l3, it + 1, crits, crit_max
+        return u, alpha, l12, l3, it + 1, crits, crit_max
 
     def cond(carry):
         *_, it, _, crit_max = carry
@@ -138,9 +139,9 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, _, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, _, criterions, _ = jax.lax.while_loop(
         cond, body,
-        (u, v, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
+        (u, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
     )
     return u, criterions
 

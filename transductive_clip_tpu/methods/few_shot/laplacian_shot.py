@@ -25,12 +25,12 @@ from .paddle import support_class_means
 from ...ops.precision import f32_einsum
 
 
-def knn_affinity(query, knn: int):
+def knn_affinity(query, knn: int, dist_impl: str = "matmul"):
     """Dense binary KNN affinity W[i, j] = 1 iff j is one of the (knn-1)
     nearest neighbors of i, self excluded (reference: laplacian_shot.py:88-98
     builds the same graph with sklearn + scipy.sparse)."""
     n = query.shape[-2]
-    d2 = sq_euclidean(query, query)
+    d2 = sq_euclidean(query, query, impl=dist_impl)
     # exclude self: a masked where, NOT eye * inf (0 * inf = NaN would poison
     # every off-diagonal distance)
     d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
@@ -39,10 +39,11 @@ def knn_affinity(query, knn: int):
     return w
 
 
-@partial(jax.jit, static_argnames=("n_iter", "knn", "n_class", "norm_type"))
+@partial(jax.jit, static_argnames=("n_iter", "knn", "n_class", "norm_type",
+                                   "dist_impl"))
 def laplacian_shot_infer(support, query, y_s, y_q, lmd,
                          n_iter: int, knn: int, n_class: int,
-                         norm_type: str = "L2N"):
+                         norm_type: str = "L2N", dist_impl: str = "matmul"):
     """Returns (acc_trace [N, n_iter], Y [N, n, K])."""
     if norm_type == "CL2N":
         # centered L2: subtract the support mean before normalizing (the
@@ -56,14 +57,16 @@ def laplacian_shot_infer(support, query, y_s, y_q, lmd,
         query = _l2_normalize(query)
 
     prototypes = support_class_means(support, y_s, n_class)       # [N, K, d]
-    unary = sq_euclidean(query, prototypes)                       # [N, n, K]
-    W = knn_affinity(query, knn)                                  # [N, n, n]
+    unary = sq_euclidean(query, prototypes, impl=dist_impl)       # [N, n, K]
+    W = knn_affinity(query, knn, dist_impl=dist_impl)             # [N, n, n]
 
     def normalize_rows(z):
         return jax.nn.softmax(z, axis=-1)
 
-    def energy(Y):
-        pairwise = f32_einsum("tij,tjk->tik", W, Y)
+    def pairwise_of(Y):
+        return f32_einsum("tij,tjk->tik", W, Y)
+
+    def energy(Y, pairwise):
         e = (
             Y * jnp.log(jnp.maximum(Y, 1e-20))
             + unary * Y
@@ -76,50 +79,73 @@ def laplacian_shot_infer(support, query, y_s, y_q, lmd,
     oldE0 = jnp.full((n_task,), jnp.inf, jnp.float32)
     done0 = jnp.zeros((n_task,), bool)
 
+    # the W @ Y product is carried between iterations: the energy test and
+    # the next bound update need the same product, so each iteration runs
+    # ONE [n, n] x [n, K] contraction instead of two (identical results)
     def step(carry, i):
-        Y, oldE, done = carry
-        WY = f32_einsum("tij,tjk->tik", W, Y)
+        Y, WY, oldE, done = carry
         Y_new = normalize_rows(-unary + lmd * WY)
-        E = energy(Y_new)
+        WY_new = pairwise_of(Y_new)
+        E = energy(Y_new, WY_new)
         converged = jnp.logical_and(
             i > 1, jnp.abs(E - oldE) <= 1e-6 * jnp.abs(oldE)
         )
         # freeze tasks that converged on a previous iteration
         Y = jnp.where(done[:, None, None], Y, Y_new)
+        WY = jnp.where(done[:, None, None], WY, WY_new)
         oldE = jnp.where(done, oldE, E)
         done = jnp.logical_or(done, converged)
         preds = jnp.argmax(Y, axis=-1)
         acc = jnp.mean((preds == y_q).astype(jnp.float32), axis=1)
-        return (Y, oldE, done), acc
+        return (Y, WY, oldE, done), acc
 
-    (Y, _, _), acc_trace = jax.lax.scan(
-        step, (Y0, oldE0, done0), jnp.arange(n_iter)
+    (Y, _, _, _), acc_trace = jax.lax.scan(
+        step, (Y0, pairwise_of(Y0), oldE0, done0), jnp.arange(n_iter)
     )
     return jnp.transpose(acc_trace), Y                            # [N, iter]
 
 
 class LAPLACIAN_SHOT(FewShotMethod):
+    """Custom ``run_task``: the method reports a per-iteration accuracy
+    trace (the reference's converge-then-hold curve) rather than one final
+    accuracy, so the base pipeline's direct_accuracy does not apply."""
+
     def run_task(self, task_dic, shot=None):
+        from ..base import timing_logs
+
         support, query, y_s, y_q, _ = self._prepare_few_shot(task_dic)
         self._log(f" ==> Executing LAPLACIAN SHOT with lmd = {self.args.lmd}")
+        n_task = query.shape[0]
+        chunk = int(self.args.get("task_chunk", 0) or 0)
+        if chunk <= 0 or n_task <= chunk or n_task % chunk != 0:
+            chunk = n_task
+
+        def infer(sl):
+            return laplacian_shot_infer(
+                support[sl], query[sl],
+                jnp.asarray(y_s[sl], jnp.int32),
+                jnp.asarray(y_q[sl], jnp.int32),
+                jnp.float32(self.args.lmd),
+                n_iter=int(self.args.iter),
+                knn=int(self.args.knn),
+                n_class=int(self.args.num_classes_test),
+                norm_type=str(self.args.norm_type),
+                dist_impl=str(self.args.get("distance_impl", "matmul")),
+            )
+
         t0 = time.perf_counter()
-        acc_trace, Y = laplacian_shot_infer(
-            support,
-            query,
-            jnp.asarray(y_s, jnp.int32),
-            jnp.asarray(y_q, jnp.int32),
-            jnp.float32(self.args.lmd),
-            n_iter=int(self.args.iter),
-            knn=int(self.args.knn),
-            n_class=int(self.args.num_classes_test),
-            norm_type=str(self.args.norm_type),
+        parts = [infer(slice(c, c + chunk)) for c in range(0, n_task, chunk)]
+        acc_trace = np.concatenate(
+            [np.asarray(device_sync(a)) for a, _ in parts]
         )
-        acc_trace = np.asarray(device_sync(acc_trace))
         elapsed = time.perf_counter() - t0
-        preds = np.asarray(jnp.argmax(Y, axis=-1))
+        preds = np.concatenate(
+            [np.asarray(jnp.argmax(Y, axis=-1)) for _, Y in parts]
+        )
+        n_iter = int(self.args.iter)
         return {
             "acc": acc_trace,                                     # [N, iter]
             "preds": preds,
-            "criterions": np.zeros((int(self.args.iter),), np.float32),
-            "timestamps": elapsed / query.shape[0],
+            "criterions": np.zeros((n_iter,), np.float32),
+            **timing_logs(elapsed, n_task, n_iter),
         }

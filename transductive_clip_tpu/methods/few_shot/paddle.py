@@ -25,8 +25,9 @@ def support_class_means(support, y_s, n_class):
     return sums / counts
 
 
-@partial(jax.jit, static_argnames=("n_iter", "n_class"))
-def paddle_infer(support, query, y_s, u0, lambd, n_iter: int, n_class: int):
+@partial(jax.jit, static_argnames=("n_iter", "n_class", "dist_impl"))
+def paddle_infer(support, query, y_s, u0, lambd, n_iter: int, n_class: int,
+                 dist_impl: str = "matmul"):
     n_task, n_query, _ = query.shape
     y_s_one_hot = get_one_hot(y_s, n_class)
     y_s_counts = jnp.sum(y_s_one_hot, axis=1)                     # [N, K]
@@ -36,7 +37,7 @@ def paddle_infer(support, query, y_s, u0, lambd, n_iter: int, n_class: int):
 
     def step(carry, _):
         u, v, w = carry
-        logits = -0.5 * sq_euclidean(query, w)
+        logits = -0.5 * sq_euclidean(query, w, impl=dist_impl)
         u_new = jax.nn.softmax(logits + lambd * v[:, None, :] / n_query, axis=2)
         v = jnp.log(jnp.mean(u_new, axis=1) + EPS) + 1.0
         num = (
@@ -70,4 +71,5 @@ class PADDLE(FewShotMethod):
             jnp.float32(self.lambd),
             n_iter=int(self.args.iter),
             n_class=int(self.args.num_classes_test),
+            dist_impl=str(self.args.get("distance_impl", "matmul")),
         )
