@@ -37,15 +37,13 @@ import jax
 
 # persistent compilation cache: the suite is compile-bound on the single-core
 # CPU backend; repeated runs hit the cache instead of recompiling.
-# Keyed by hostname: the workspace moves between machines, and XLA:CPU AOT
-# artifacts compiled for another host's CPU features would be rejected with
-# noisy errors (or worse, SIGILL).
-import socket
+# Keyed by hostname + CPU-feature fingerprint: the workspace moves between
+# machines (sometimes sharing a hostname), and XLA:CPU AOT artifacts compiled
+# for another host's CPU features would be rejected with noisy errors (or
+# worse, SIGILL).
+from transductive_clip_tpu.utils.compile_cache import enable_compile_cache
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/tclip_jax_cache_{socket.gethostname()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache(jax)
 
 import numpy as np
 import pytest

@@ -68,3 +68,28 @@ def test_em_dirichlet_solver_parity_on_accuracy(simplex_tasks):
         accs[solver] = m.run_task({"x_q": x, "y_q": y})["acc"][:, -1]
     np.testing.assert_allclose(accs["mm"], accs["minka"], atol=0.03)
     assert accs["minka"].mean() > 0.9
+
+
+def test_mm_update_runs_exactly_iter_mm_updates(rng):
+    """With the convergence test disabled (tol=0) the solver must execute
+    exactly ``iter_mm`` updates for ANY iter_mm — including values that are
+    not multiples of the 50-iteration check block — matching the reference's
+    ``for l in range(iter_mm)`` bound (reference: em_dirichlet.py:160-177)."""
+    import jax
+
+    from transductive_clip_tpu.ops.dirichlet import _mm_iteration
+
+    K = 6
+    x = rng.dirichlet(np.ones(K) * 0.5, size=200)
+    y = jnp.asarray(np.tile(np.log(x + 1e-15).mean(0), (1, K, 1)), jnp.float32)
+    a0 = jnp.full((1, K, K), 2.0, jnp.float32)
+
+    def explicit(n):
+        return jax.lax.fori_loop(0, n, lambda _, a: _mm_iteration(a, y), a0)
+
+    for iter_mm in (7, 50, 51, 60, 137):
+        got = np.asarray(mm_update_alpha(a0, y, iter_mm=iter_mm, tol=0.0))
+        want = np.asarray(explicit(iter_mm))
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"iter_mm={iter_mm} ran a different count"
+        )

@@ -249,6 +249,19 @@ def direct_accuracy(u, y_q):
     return acc.astype(np.float32), preds
 
 
+def split_infer_out(out):
+    """Normalize an ``_infer`` result to (u, criterions, n_exec).
+
+    Methods with early stopping return the executed outer-iteration count
+    as a third element (``return_n_iter=True``); fixed-schedule methods
+    return two, and ``n_exec`` is None (the criterion-trace length is then
+    the executed count)."""
+    if isinstance(out, tuple) and len(out) == 3:
+        return out
+    u, criterions = out
+    return u, criterions, None
+
+
 def timing_logs(elapsed, n_task, n_iter):
     """Timing metrics for ``run_task`` logs.
 
@@ -261,15 +274,13 @@ def timing_logs(elapsed, n_task, n_iter):
     iteration), so ``timestamps_cumulative``/``timestamps_ref`` synthesize
     the reference's Table-2 semantics under uniform per-iteration cost.
 
-    Caveat: ``n_iter`` is the configured schedule length (criterion traces
-    are padded to it), so with early stopping the synthesized factor
-    (n+1)/(2n) uses the configured n, not the executed count — the metric
-    is exact only in reference-exact mode, where all n iterations always
-    run (documented in PARITY.md). ``timestamps`` (the true total) is
-    always exact.
+    ``n_iter`` is the EXECUTED outer-iteration count: early-stopping
+    methods return it from the compiled loop's carry (``split_infer_out``),
+    so the synthesized factor (n+1)/(2n) is exact in all modes.
+    ``timestamps`` (the true total) is always exact.
     """
     per_task = elapsed / n_task
-    n = max(int(n_iter), 1)
+    n = max(int(round(float(n_iter))), 1)
     cumulative = per_task * (np.arange(1, n + 1) / n)
     return {
         "timestamps": per_task,
@@ -325,15 +336,20 @@ class TransductiveMethod:
             if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n_task
             and k != "text_features"
         ]
-        us, crits = [], []
+        us, crits, n_execs = [], [], []
         for s in range(0, n_task, chunk):
             sub = dict(task)
             for k in sliced_keys:
                 sub[k] = task[k][s:s + chunk]
-            u, crit = self._infer(sub)
+            u, crit, n_exec = split_infer_out(self._infer(sub))
             us.append(u)
             crits.append(np.asarray(crit))
-        return np.concatenate([np.asarray(u) for u in us]), np.mean(crits, axis=0)
+            n_execs.append(n_exec)
+        u_all = np.concatenate([np.asarray(u) for u in us])
+        crit_mean = np.mean(crits, axis=0)
+        if all(n is not None for n in n_execs):
+            return u_all, crit_mean, float(np.mean([int(n) for n in n_execs]))
+        return u_all, crit_mean
 
     # -- helpers ----------------------------------------------------------
     def _log(self, msg):
@@ -357,7 +373,7 @@ class TransductiveMethod:
         task["text_features"] = text_features
 
         t0 = time.perf_counter()
-        u, criterions = self._infer_chunked(task)
+        u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
         u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
@@ -370,11 +386,12 @@ class TransductiveMethod:
             acc, preds = direct_accuracy(u, y_q)
 
         criterions = np.asarray(criterions)
+        n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
             "acc": acc,
             "preds": preds,
             "criterions": criterions,
-            **timing_logs(elapsed, n_task, len(criterions)),
+            **timing_logs(elapsed, n_task, n_used),
         }
 
 
@@ -406,16 +423,17 @@ class FewShotMethod(TransductiveMethod):
         }
 
         t0 = time.perf_counter()
-        u, criterions = self._infer_chunked(task)
+        u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
         u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
 
         acc, preds = direct_accuracy(u, y_q)
         criterions = np.asarray(criterions)
+        n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
             "acc": acc,
             "preds": preds,
             "criterions": criterions,
-            **timing_logs(elapsed, n_task, len(criterions)),
+            **timing_logs(elapsed, n_task, n_used),
         }

@@ -39,12 +39,13 @@ _COMPACT_MARGIN = 16
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard",
-                                   "solver", "early_stop", "compact", "mesh"))
+                                   "solver", "early_stop", "compact", "mesh",
+                                   "return_n_iter"))
 def em_dirichlet_fs_infer(support, query, y_s, lambd,
                           n_iter: int, iter_mm: int, n_class: int, hard: bool,
                           solver: str = "mm", early_stop: bool = True,
                           early_stop_tol: float = 1e-6, compact: bool = True,
-                          mesh=None):
+                          mesh=None, return_n_iter: bool = False):
     """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s].
 
     ``mesh``: optional (dp, tp) mesh — tasks shard over dp, alpha's trailing
@@ -83,7 +84,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         query_stat = f32_einsum("tnk,tnd->tkd", u, log_q)
         y_cst = (supp_stat + query_stat) / (y_s_sum + u_sum)[..., None]
         y_cst = con(y_cst, "dp", None, "tp")
-        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver)
+        alpha = update_alpha(alpha_old, y_cst, iter_mm=iter_mm, solver=solver,
+                             mesh=mesh)
         alpha = con(alpha, "dp", None, "tp")
         l12, l3 = dirichlet_logits_cache(log_q, alpha)
         u = finish_step(u, l12, l3)
@@ -99,7 +101,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         y_c = (supp_c + query_stat_c) / (y_s_sum_c + mass)[..., None]
         y_c = con(y_c, "dp", None, "tp")
         alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
-        alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver)
+        alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver,
+                               mesh=mesh)
         alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
         alpha = con(alpha, "dp", None, "tp")
         # incremental logits-cache update at the changed rows only (same
@@ -139,10 +142,14 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, it, criterions, _ = jax.lax.while_loop(
         cond, body,
         (u, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
     )
+    if return_n_iter:
+        # executed outer-iteration count: makes the synthesized
+        # reference-semantics timing metric exact under early stopping
+        return u, criterions, it
     return u, criterions
 
 
@@ -164,6 +171,7 @@ class EM_DIRICHLET(FewShotMethod):
             solver = "pallas" if jax.default_backend() == "tpu" else "minka"
         self.solver = solver
         self.early_stop = bool(args.get("early_stop", True))
+        self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
         self.compact = bool(args.get("compact_clusters", True))
 
     def _check_compaction(self, u, n_query, n_class):
@@ -185,7 +193,7 @@ class EM_DIRICHLET(FewShotMethod):
             f" ==> Executing few-shot {'HARD ' if self.hard else ''}EM-DIRICHLET "
             f"with LAMBDA = {self.lambd}"
         )
-        u, criterions = em_dirichlet_fs_infer(
+        u, criterions, n_exec = em_dirichlet_fs_infer(
             task["x_s"],
             task["x_q"],
             task["y_s"],
@@ -196,8 +204,10 @@ class EM_DIRICHLET(FewShotMethod):
             hard=self.hard,
             solver=self.solver,
             early_stop=self.early_stop,
+            early_stop_tol=jnp.float32(self.early_stop_tol),
             compact=self.compact,
             mesh=self.mesh,
+            return_n_iter=True,
         )
         self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
-        return u, criterions
+        return u, criterions, n_exec

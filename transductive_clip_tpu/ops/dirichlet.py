@@ -77,7 +77,9 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
     Stop semantics match the reference loop exactly: at iteration indices
     l = 50, 100, ... the SINGLE-STEP relative change
     ||a_{l+1} - a_l||^2 / ||a_l||^2 is tested against ``tol`` and the loop
-    breaks keeping a_{l+1}; at most ``iter_mm`` updates run
+    breaks keeping a_{l+1}; exactly ``iter_mm`` updates run when the test
+    never fires — the trailing block is clamped to the remaining budget,
+    matching the reference's ``range(iter_mm)`` bound for any iter_mm
     (reference: em_dirichlet.py:160-177 — the criterion is the one-step
     delta at the checkpoint, not the change across the 50-iteration block).
     """
@@ -94,16 +96,18 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
         den = jnp.sum(alpha * alpha)
         crit = num / jnp.maximum(den, 1e-30)
         # remaining block only runs when not converged (reference breaks
-        # immediately at the checkpoint)
+        # immediately at the checkpoint), clamped so total updates never
+        # exceed iter_mm (dynamic fori bound -> while_loop under the hood)
+        rem = jnp.minimum(check_every - 1, iter_mm - it - 1)
         alpha_out = jax.lax.cond(
             crit < tol,
             lambda a: a,
             lambda a: jax.lax.fori_loop(
-                0, check_every - 1, lambda _, x: _mm_iteration(x, y_cst), a
+                0, rem, lambda _, x: _mm_iteration(x, y_cst), a
             ),
             alpha_new,
         )
-        return alpha_out, it + check_every, crit
+        return alpha_out, it + 1 + rem, crit
 
     def cond(carry):
         _, it, crit = carry
@@ -153,18 +157,69 @@ def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
     return alpha
 
 
-def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm"):
+def _shard_map_rows(fn, alpha0, y_cst, mesh):
+    """Run a per-cluster-row solver under a (dp, tp) mesh with ``shard_map``.
+
+    The solver's rows (axis 1) are independent given their own full lane
+    axis, while the kernel's row-sum (``jnp.sum(alpha, axis=-1)``) needs
+    every lane. So instead of partitioning the lanes (which would demand a
+    psum inside the Pallas while_loop), rows are resharded over tp: each
+    device solves its local [N/dp, R/tp, K] block with full rows and zero
+    collectives inside the kernel. GSPMD inserts the (cheap, ICI) all-to-all
+    between the (dp, None, tp)-sharded EM state and the (dp, tp, None)
+    solver layout at entry/exit. Rows are padded to a tp multiple with the
+    benign (alpha=1, y=-10) right-hand side also used for block padding.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    n_task, n_rows, _ = alpha0.shape
+    if n_task % dp != 0:
+        return None  # caller falls back to an XLA solver GSPMD can split
+    rp = -(-n_rows // tp) * tp
+    if rp != n_rows:
+        pad = ((0, 0), (0, rp - n_rows), (0, 0))
+        alpha0 = jnp.pad(alpha0, pad, constant_values=1.0)
+        y_cst = jnp.pad(y_cst, pad, constant_values=-10.0)
+    spec = P("dp", "tp", None)
+    out = jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
+    )(alpha0, y_cst)
+    return out[:, :n_rows]
+
+
+def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
+                 mesh=None):
     """Dispatch between the reference-exact MM solver (XLA or VMEM-resident
     Pallas), the fast Minka fixed point, and the fused Pallas Minka kernel
-    (identical stationary equation)."""
-    if solver == "pallas":
-        from .pallas_dirichlet import pallas_dirichlet_solve
+    (identical stationary equation).
 
-        return pallas_dirichlet_solve(alpha0, y_cst)
-    if solver == "mm_pallas":
-        from .pallas_dirichlet import pallas_mm_solve
+    ``mesh``: optional (dp, tp) mesh. The XLA solvers need no special
+    handling (GSPMD partitions their elementwise/reduce ops under the
+    caller's sharding constraints); the Pallas kernels are explicitly
+    shard_map-partitioned by rows (see ``_shard_map_rows``) — a bare
+    ``pallas_call`` has no GSPMD partitioning rule and would otherwise be
+    all-gathered onto every device.
+    """
+    if solver in ("pallas", "mm_pallas"):
+        from functools import partial as _partial
 
-        return pallas_mm_solve(alpha0, y_cst, iter_mm=iter_mm)
+        from .pallas_dirichlet import pallas_dirichlet_solve, pallas_mm_solve
+
+        # Pallas TPU kernels only lower on TPU; tests and the multichip
+        # dryrun exercise the identical kernel code in interpret mode
+        interpret = jax.default_backend() != "tpu"
+        if solver == "pallas":
+            fn = _partial(pallas_dirichlet_solve, interpret=interpret)
+        else:
+            fn = _partial(pallas_mm_solve, iter_mm=iter_mm,
+                          interpret=interpret)
+        if mesh is not None:
+            out = _shard_map_rows(fn, alpha0, y_cst, mesh)
+            if out is not None:
+                return out
+            return minka_update_alpha(alpha0, y_cst)
+        return fn(alpha0, y_cst)
     if solver == "minka":
         return minka_update_alpha(alpha0, y_cst)
     return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)

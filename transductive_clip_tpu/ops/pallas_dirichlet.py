@@ -112,15 +112,18 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
         num = jnp.sum(d * d)
         den = jnp.maximum(jnp.sum(jnp.where(valid, alpha, 0.0) ** 2), 1e-30)
         crit = num / den
+        # clamp to the remaining budget so exactly iter_mm updates run when
+        # the convergence test never fires (reference: range(iter_mm))
+        rem = jnp.minimum(check_every - 1, iter_mm - it - 1)
         new = jax.lax.cond(
             crit < tol,
             lambda a: a,
             lambda a: jax.lax.fori_loop(
-                0, check_every - 1, lambda _, x: mm_iter(x), a
+                0, rem, lambda _, x: mm_iter(x), a
             ),
             new,
         )
-        return new, it + check_every, crit
+        return new, it + 1 + rem, crit
 
     def cond(carry):
         _, it, crit = carry

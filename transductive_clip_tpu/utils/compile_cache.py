@@ -1,0 +1,42 @@
+"""Persistent XLA compile-cache location, keyed by a CPU-feature fingerprint.
+
+XLA:CPU AOT artifacts embed the compile machine's CPU features; loading them
+on a host with different features is rejected with noisy errors (and XLA
+warns SIGILL is possible). Hostname alone is not a sufficient key — this
+workspace has observed two different CPU microarchitectures behind one
+hostname — so the cache directory is keyed by a hash of the host's cpuinfo
+flags (plus the hostname for readability).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import platform
+import socket
+
+
+def _cpu_fingerprint() -> str:
+    bits = [platform.machine(), platform.processor() or ""]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:10]
+
+
+def compile_cache_dir(prefix: str = "/tmp/tclip_jax_cache") -> str:
+    return f"{prefix}_{socket.gethostname()}_{_cpu_fingerprint()}"
+
+
+def enable_compile_cache(jax, min_compile_secs: float = 1.0) -> str:
+    """Point jax at the fingerprinted persistent cache; returns the dir."""
+    path = compile_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
+    return path
