@@ -51,9 +51,13 @@ def main():
 
     from transductive_clip_tpu.ops.common import device_sync
 
-    # compile + warmup
+    # compile + warmup. compact_first=True is the production default
+    # ('auto'): the evaluator verifies it against the exact first iteration
+    # on the first batch of every evaluation (methods/zero_shot/
+    # em_dirichlet.py), so steady-state batches run exactly this program.
     u, crit = em_dirichlet_infer(
-        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="pallas"
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="pallas",
+        compact_first=True,
     )
     device_sync(u)
 
@@ -64,7 +68,7 @@ def main():
         t0 = time.perf_counter()
         u, crit = em_dirichlet_infer(
             x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False,
-            solver="pallas"
+            solver="pallas", compact_first=True,
         )
         device_sync(u)
         elapsed = min(elapsed, time.perf_counter() - t0)

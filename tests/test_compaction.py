@@ -122,3 +122,68 @@ def test_few_shot_compact_matches_full(rng):
         np.asarray(u_full).argmax(-1), np.asarray(u_comp).argmax(-1)
     )
     np.testing.assert_allclose(np.asarray(u_full), np.asarray(u_comp), atol=2e-3)
+
+
+def _flat_feature_tasks(rng, n_task=4, n_query=20, n_class=300, conc=5.0):
+    """Near-uniform simplex features: the adversarial regime where
+    iteration-1 compaction picks the wrong clusters (~46% prediction
+    mismatch measured vs the exact first iteration)."""
+    g = rng.gamma(1.0, size=(n_task, n_query, n_class)).astype(np.float32)
+    labels = rng.integers(0, n_class, (n_task, n_query))
+    g[np.arange(n_task)[:, None], np.arange(n_query)[None, :], labels] += conc
+    return g / g.sum(-1, keepdims=True), labels
+
+
+def test_compact_first_guard_falls_back_on_flat_features(rng):
+    """The default 'auto' mode must detect an iteration-1 deviation on the
+    first batch and permanently fall back to the exact first iteration
+    (VERDICT r2 next #5)."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    x, y = _flat_feature_tasks(rng)
+    n_class = x.shape[2]
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=x.shape[1], T=30,
+        use_softmax_feature=True, graph_matching=False, iter=8, iter_mm=300,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=False,
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    assert method.compact_first and method._cf_guard_pending
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        logs = method.run_task({"x_q": x, "y_q": y[..., None]})
+    assert any("compact_first_iter deviated" in str(w.message) for w in caught)
+    assert method.compact_first is False  # permanently off for this eval
+
+    # the guarded result must equal the exact-first-iteration path
+    # (compare through the same matched-prediction pipeline)
+    cfg_exact = CfgNode(dict(cfg, compact_first_iter=False))
+    logs_exact = get_zero_shot_method("EM_DIRICHLET", args=cfg_exact).run_task(
+        {"x_q": x, "y_q": y[..., None]})
+    np.testing.assert_array_equal(logs["preds"], logs_exact["preds"])
+
+
+def test_compact_first_guard_keeps_fast_path_on_peaked_features(rng):
+    """On protocol-like peaked features the guard verifies once and keeps
+    iteration-1 compaction on for later batches."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    x, y = make_simplex_tasks(
+        rng, n_task=4, n_query=20, n_class=300, k_eff=6, concentration=60.0
+    )
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=300, num_classes_test=300,
+        n_query=20, T=30, use_softmax_feature=True, graph_matching=False,
+        iter=8, iter_mm=300, dirichlet_solver="minka",
+        compact_clusters=True, early_stop=False,
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    method.run_task({"x_q": x, "y_q": y[..., None]})
+    assert method.compact_first is True
+    assert method._cf_guard_pending is False

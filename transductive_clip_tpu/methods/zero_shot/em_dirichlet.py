@@ -19,17 +19,19 @@ and hard_em_dirichlet.py:124-271) re-designed for TPU:
   em_dirichlet.py:224-226). From iteration 2 on this is exact whenever at
   most C clusters carry query mass (the typical underflow regime;
   guaranteed for the hard variant) and the wrapper's post-run sparsity
-  check warns otherwise. ``compact_first_iter: True`` (opt-in, ~2x again:
-  291 -> 633 tasks/s at ImageNet scale) compacts iteration 1 too, using
-  the analytic alpha=ones logits cache (l3 = 0, l12 = lgamma(K)) so no
-  full-width solve ever runs — but iteration 1's u is the dense raw
-  features, so this rests only on the lambda*v concentration argument: it
-  is prediction-identical at protocol-like feature peaking (verified up to
-  K=1000, tests/test_compaction.py) yet can deviate on very flat features,
-  and no post-run check can detect an iteration-1 deviation. It therefore
-  defaults OFF; enable it after spot-checking compact_first_iter
-  True-vs-False agreement on your own features. ``compact_clusters:
-  False`` is the fully exact path.
+  check warns otherwise. ``compact_first_iter`` (~2x again: 291 -> 633
+  tasks/s at ImageNet scale) compacts iteration 1 too, using the analytic
+  alpha=ones logits cache (l3 = 0, l12 = lgamma(K)) so no full-width solve
+  ever runs — but iteration 1's u is the dense raw features, so this rests
+  only on the lambda*v concentration argument: it is prediction-identical
+  at protocol-like feature peaking (verified up to K=1000,
+  tests/test_compaction.py) yet can deviate on very flat features, and no
+  post-hoc sparsity check can detect an iteration-1 deviation. The default
+  ``'auto'`` therefore runs it behind a first-batch guard: the wrapper
+  re-solves the first task batch with the exact first iteration, compares
+  predictions, and permanently falls back (loudly) on any mismatch — one
+  extra batch per evaluation, amortized. ``True`` skips the guard;
+  ``False`` disables; ``compact_clusters: False`` is the fully exact path.
 """
 
 from __future__ import annotations
@@ -244,7 +246,12 @@ class EM_DIRICHLET(TransductiveMethod):
             solver = "pallas" if jax.default_backend() == "tpu" else "minka"
         self.solver = solver
         self.compact = bool(args.get("compact_clusters", True))
-        self.compact_first = bool(args.get("compact_first_iter", False))
+        # 'auto' (default): iteration-1 compaction ON, verified against the
+        # exact first iteration on the first task batch (see _infer); True:
+        # on unguarded (pre-validated by the user); False: off.
+        cf = args.get("compact_first_iter", "auto")
+        self.compact_first = cf in (True, "auto", "True")
+        self._cf_guard_pending = cf in ("auto",)
         self.early_stop = bool(args.get("early_stop", True))
         self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
 
@@ -257,6 +264,22 @@ class EM_DIRICHLET(TransductiveMethod):
                 logger=self.logger,
             )
 
+    def _run_infer(self, x_q, compact_first: bool):
+        return em_dirichlet_infer(
+            x_q,
+            jnp.float32(self.lambd),
+            n_iter=self.n_iter,
+            iter_mm=self.iter_mm,
+            hard=self.hard,
+            solver=self.solver,
+            compact=self.compact,
+            compact_first=compact_first,
+            early_stop=self.early_stop,
+            early_stop_tol=jnp.float32(self.early_stop_tol),
+            mesh=self.mesh,
+            return_n_iter=True,
+        )
+
     def _infer(self, task):
         if not self.args.use_softmax_feature:
             raise ValueError(
@@ -267,19 +290,39 @@ class EM_DIRICHLET(TransductiveMethod):
             f" ==> Executing {'HARD ' if self.hard else ''}EM-DIRICHLET "
             f"with LAMBDA = {self.lambd} and T = {self.args.T}"
         )
-        u, criterions, n_exec = em_dirichlet_infer(
-            task["x_q"],
-            jnp.float32(self.lambd),
-            n_iter=self.n_iter,
-            iter_mm=self.iter_mm,
-            hard=self.hard,
-            solver=self.solver,
-            compact=self.compact,
-            compact_first=self.compact_first,
-            early_stop=self.early_stop,
-            early_stop_tol=jnp.float32(self.early_stop_tol),
-            mesh=self.mesh,
-            return_n_iter=True,
-        )
-        self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
-        return u, criterions, n_exec
+        n_query, n_class = task["x_q"].shape[1], task["x_q"].shape[2]
+        cf_engaged = (self.compact_first and self.compact
+                      and n_class > 2 * min(n_class,
+                                            n_query + _COMPACT_MARGIN))
+        out = self._run_infer(task["x_q"], self.compact_first)
+        if cf_engaged and self._cf_guard_pending:
+            # first-batch guard: iteration-1 compaction is the one shortcut
+            # whose deviation is undetectable post hoc (the module docstring
+            # explains why), so the first batch is re-solved with the exact
+            # first iteration and the predictions compared. One extra batch
+            # per evaluation, amortized across all batches.
+            exact = self._run_infer(task["x_q"], False)
+            same = bool(jnp.array_equal(jnp.argmax(out[0], axis=-1),
+                                        jnp.argmax(exact[0], axis=-1)))
+            self._cf_guard_pending = False
+            if same:
+                self._log(
+                    "compact_first_iter: first-batch predictions match the "
+                    "exact first iteration; keeping the fast path"
+                )
+            else:
+                msg = (
+                    "compact_first_iter deviated from the exact first "
+                    "iteration on the first task batch (flat features?); "
+                    "falling back to the exact path for this evaluation"
+                )
+                if self.logger is not None:
+                    self.logger.warning(msg)
+                else:
+                    import warnings
+
+                    warnings.warn(msg)
+                self.compact_first = False
+                out = exact
+        self._check_compaction(out[0], n_query, n_class)
+        return out
