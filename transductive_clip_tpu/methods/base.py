@@ -55,6 +55,42 @@ def _matching_backend(cfg):
     return backend
 
 
+@partial(jax.jit, static_argnames=("use_softmax", "R", "graph_matching"))
+def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
+                     R: int, graph_matching: bool):
+    """The full zero-shot accuracy reduction on device: prototypes ->
+    cluster->class matching (batched auction / argmax) -> LUT rename ->
+    per-task accuracy. Only scalars and [N, n] ints need to cross the host
+    link per batch (the [N, R, C] prototype probabilities stay device-
+    resident unless the rare auction-budget fallback pulls them)
+    (reference: eval_zero_shot.py:176-184 + utils.py:380-417).
+
+    Returns (acc [N, 1], new_preds [N, n], ok scalar bool, preds [N, n],
+    idx [N, R], probs [N, R, C]); the last three are only fetched on
+    fallback.
+    """
+    from ..ops.auction import auction_assign
+
+    n_task, _, n_class = u.shape
+    preds, idx, probs, present = _proto_rows_device(
+        u, query, T, text_features, use_softmax, R
+    )
+    if graph_matching:
+        cols = auction_assign(probs * present[..., None])       # [N, R]
+        ok = jnp.all(cols >= 0)
+        cols = jnp.maximum(cols, 0)
+    else:
+        cols = jnp.argmax(probs, axis=-1)
+        ok = jnp.asarray(True)
+    lut = jnp.zeros((n_task, n_class), preds.dtype).at[
+        jnp.arange(n_task)[:, None], idx
+    ].set(cols.astype(preds.dtype))
+    new_preds = jnp.take_along_axis(lut, preds, axis=1)
+    acc = jnp.mean((new_preds == y_q).astype(jnp.float32), axis=1,
+                   keepdims=True)
+    return acc, new_preds, ok, preds, idx, probs
+
+
 @partial(jax.jit, static_argnames=("use_softmax", "R"))
 def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int):
     """Cluster prototypes -> class probabilities on device, compressed to the
@@ -103,48 +139,44 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
     if not bool(cfg.get("proto_device", True)):
         return _clustering_accuracy_host(u, query, y_q, cfg, text_features)
 
-    from ..ops.matching import hungarian_matching_rows, scatter_matching_rows
+    from ..ops.matching import hungarian_matching_rows
 
     n_class = int(cfg.n_class)
     u = jnp.asarray(u)
     query = jnp.asarray(query, jnp.float32)
     use_softmax = bool(cfg.use_softmax_feature)
+    graph_matching = bool(cfg.graph_matching)
     R = min(n_class, u.shape[1], u.shape[2])
     tf = (jnp.zeros((1, query.shape[2]), jnp.float32) if use_softmax
           else jnp.asarray(text_features, jnp.float32))
-    preds_d, idx_d, probs_d, present_d = _proto_rows_device(
-        u, query, jnp.float32(cfg.T), tf, use_softmax, R
-    )
-    preds = np.asarray(preds_d)
 
-    if bool(cfg.graph_matching):
-        if _matching_backend(cfg) == "device":
-            from ..ops.auction import auction_assign
-
-            cols = np.asarray(auction_assign(probs_d * present_d[..., None]))
-            if (cols < 0).any():
-                # auction hit its iteration budget with unassigned rows
-                # (pathological tie structure); fall back to the exact host
-                # solver rather than emitting -1 labels
-                new_preds = hungarian_matching_rows(
-                    preds, np.asarray(idx_d), np.asarray(probs_d), n_class
-                )
-            else:
-                new_preds = scatter_matching_rows(
-                    preds, np.asarray(idx_d), cols, n_class
-                )
-        else:
-            new_preds = hungarian_matching_rows(
-                preds, np.asarray(idx_d), np.asarray(probs_d), n_class
-            )
-    else:
-        matched = jnp.argmax(probs_d, axis=-1)
-        new_preds = scatter_matching_rows(
-            preds, np.asarray(idx_d), np.asarray(matched), n_class
+    if graph_matching and _matching_backend(cfg) != "device":
+        # host JV matching: the [N, R, C] prototype rows must come back
+        preds_d, idx_d, probs_d, _ = _proto_rows_device(
+            u, query, jnp.float32(cfg.T), tf, use_softmax, R
         )
+        preds = np.asarray(preds_d)
+        new_preds = hungarian_matching_rows(
+            preds, np.asarray(idx_d), np.asarray(probs_d), n_class
+        )
+        acc = (new_preds == y_q).mean(axis=1, keepdims=True)
+        return acc.astype(np.float32), new_preds
 
-    acc = (new_preds == y_q).mean(axis=1, keepdims=True)
-    return acc.astype(np.float32), new_preds
+    acc_d, new_preds_d, ok, preds_d, idx_d, probs_d = _accuracy_device(
+        u, query, jnp.asarray(y_q, jnp.int32), jnp.float32(cfg.T), tf,
+        use_softmax, R, graph_matching,
+    )
+    if graph_matching and not bool(ok):
+        # auction hit its iteration budget with unassigned rows
+        # (pathological tie structure); fall back to the exact host solver
+        # rather than emitting wrong labels
+        new_preds = hungarian_matching_rows(
+            np.asarray(preds_d), np.asarray(idx_d), np.asarray(probs_d),
+            n_class,
+        )
+        acc = (new_preds == y_q).mean(axis=1, keepdims=True)
+        return acc.astype(np.float32), new_preds
+    return np.asarray(acc_d), np.asarray(new_preds_d)
 
 
 def _clustering_accuracy_host(u, query, y_q, cfg, text_features=None):
