@@ -65,6 +65,10 @@ def main():
                          "iterations)")
     ap.add_argument("--skip-zero-shot", action="store_true",
                     help="run only the sections selected by other flags")
+    ap.add_argument("--extraction", action="store_true",
+                    help="benchmark CLIP image encoding: device-resident "
+                         "batch (pure compute, reports MFU) vs host batch "
+                         "(includes the transfer) for ViT-B/16 and RN50")
     args = ap.parse_args()
     if args.quick:
         args.tasks, args.n_class = 8, 64
@@ -187,6 +191,73 @@ def main():
         "acc": round(float(np.mean(logs["acc"][:, -1])), 4),
         "baseline_note": "reference excludes matching from its timing",
     })
+
+    # ---- CLIP extraction throughput + MFU (--extraction) -----------------
+    if args.extraction:
+        from transductive_clip_tpu.models.clip import (
+            CLIP_CONFIGS,
+            JaxCLIP,
+            init_random_params,
+        )
+        from transductive_clip_tpu.ops.common import device_sync
+
+        # bf16 peak FLOPs/s by device kind (public spec sheets); MFU is
+        # reported only when the kind is recognized
+        peak_by_kind = {
+            "TPU v4": 275e12,
+            "TPU v5e": 197e12, "TPU v5 lite": 197e12, "TPU v5litepod": 197e12,
+            "TPU v5p": 459e12, "TPU v5": 459e12,
+            "TPU v6e": 918e12, "TPU v6 lite": 918e12,
+        }
+        kind = jax.devices()[0].device_kind
+        peak = next((v for k, v in peak_by_kind.items()
+                     if kind.lower().startswith(k.lower())), None)
+        batch = 8 if args.quick else 256
+        rng_x = np.random.default_rng(0)
+        for backbone in ("ViT-B/16", "RN50"):
+            cfg_b = CLIP_CONFIGS[backbone]
+            model = JaxCLIP(cfg_b, init_random_params(cfg_b))
+            size = cfg_b.vision.image_size
+            imgs_np = rng_x.integers(0, 256, (batch, size, size, 3),
+                                     dtype=np.uint8)
+            imgs_dev = jnp.asarray(imgs_np)
+            device_sync(imgs_dev)
+            flops = None
+            try:
+                cost = model._encode_image.lower(
+                    model.params, imgs_dev
+                ).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0)) or None
+            except Exception:
+                pass
+
+            # pure device compute: batch already resident, no transfer
+            elapsed, _ = timed(
+                lambda x: model._encode_image(model.params, x), imgs_dev
+            )
+            row = {
+                "metric": f"extraction_device_only_{backbone.replace('/', '')}",
+                "value": round(batch / elapsed, 1),
+                "unit": "imgs/sec",
+                "device_kind": kind,
+            }
+            if flops:
+                achieved = flops / elapsed
+                row["tflops_per_sec"] = round(achieved / 1e12, 2)
+                if peak:
+                    row["mfu_pct_bf16_peak"] = round(100 * achieved / peak, 2)
+            rows.append(row)
+
+            # host batch: includes the host->device uint8 transfer
+            elapsed_h, _ = timed(model.encode_image_batch, imgs_np)
+            rows.append({
+                "metric": f"extraction_with_transfer_{backbone.replace('/', '')}",
+                "value": round(batch / elapsed_h, 1),
+                "unit": "imgs/sec",
+                "transfer_overhead_x": round(elapsed_h / elapsed, 2),
+            })
 
     # ---- few-shot methods at the Table-2 protocol (--few-shot) -----------
     if args.few_shot:
