@@ -4,9 +4,12 @@ separable features — an end-to-end smoke/benchmark of every method without
 needing CLIP weights or datasets.
 
     python scripts/run_synthetic_protocol.py [--n-class 100] [--tasks 200]
+    python scripts/run_synthetic_protocol.py --quick   # < ~2 min on a
+                                                       # tunneled chip
 
-Prints one table row per method: accuracy and per-task milliseconds on the
-current backend. The Dirichlet/hard-kmeans/KL methods should be near 1.0 on
+Rows stream as each method finishes (each of the 15 methods compiles its
+own program first — a progress line marks compile start). ``--quick``
+shrinks shapes and iteration counts for a fast demo of all 15 methods. The Dirichlet/hard-kmeans/KL methods should be near 1.0 on
 these separable simplex tasks; the Gaussian and soft-kmeans baselines are
 expected to score much lower at large K — that is the paper's core finding
 (Table 1: Euclidean-geometry methods fit softmax features poorly), and the
@@ -58,20 +61,29 @@ def main():
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--n-query", type=int, default=75)
     ap.add_argument("--shots", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes + reduced iteration counts: all 15 "
+                         "methods in ~2 min on a tunneled TPU")
     args = ap.parse_args()
+    if args.quick:
+        # 2 batches: the first (compile) batch is excluded from timing
+        args.n_class, args.tasks, args.batch_size, args.n_query = 32, 32, 16, 25
 
     import jax
 
     rng = np.random.default_rng(0)
     print(f"backend: {jax.default_backend()}, K={args.n_class}, "
-          f"{args.tasks} tasks x {args.n_query} queries")
+          f"{args.tasks} tasks x {args.n_query} queries", flush=True)
 
     # ---- zero-shot suite ----
-    print(f"\n{'zero-shot method':<22} {'acc':>6} {'ms/task':>9}")
+    print(f"\n{'zero-shot method':<22} {'acc':>6} {'ms/task':>9}", flush=True)
     for name in ZERO_SHOT_METHODS:
         cfg = base_cfg(args.n_class, args.n_query, args.batch_size, 0)
         if name in ("HARD_EM_DIRICHLET", "HARD_KMEANS", "KL_KMEANS"):
             cfg.iter = 10
+        if args.quick:
+            cfg.iter, cfg.iter_mm = min(cfg.iter, 10), 100
+        print(f"[{name} compiling...]", file=sys.stderr, flush=True)
         method = get_zero_shot_method(name, args=cfg)
         accs, times = [], []
         n_batches = max(1, args.tasks // args.batch_size)
@@ -81,15 +93,20 @@ def main():
             if b > 0 or n_batches == 1:   # skip compile batch when possible
                 times.append(logs["timestamps"])
             accs.append(logs["acc"][:, -1].mean())
-        print(f"{name:<22} {np.mean(accs):>6.3f} {np.mean(times)*1e3:>9.2f}")
+        print(f"{name:<22} {np.mean(accs):>6.3f} {np.mean(times)*1e3:>9.2f}",
+              flush=True)
 
     # ---- few-shot suite ----
-    print(f"\n{'few-shot method':<22} {'acc':>6} {'ms/task':>9}")
+    print(f"\n{'few-shot method':<22} {'acc':>6} {'ms/task':>9}", flush=True)
     fs_batch = min(args.batch_size, max(1, 2000 // args.n_class))
     for name in FEW_SHOT_METHODS:
         cfg = base_cfg(args.n_class, args.n_query, fs_batch, args.shots)
         if name in ("ALPHA_TIM", "TIM-GD"):
             cfg.iter = 1000
+        if args.quick:
+            cfg.iter = min(cfg.iter, 100)
+            cfg.iter_mm = 100
+        print(f"[{name} compiling...]", file=sys.stderr, flush=True)
         method = get_few_shot_method(name, args=cfg)
         xs, ys, xq, yq = make_few_shot_tasks(
             rng, fs_batch, args.n_query, args.n_class, args.shots
@@ -102,7 +119,7 @@ def main():
             {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=args.shots
         )
         print(f"{name:<22} {logs['acc'][:, -1].mean():>6.3f} "
-              f"{logs['timestamps']*1e3:>9.2f}")
+              f"{logs['timestamps']*1e3:>9.2f}", flush=True)
 
 
 if __name__ == "__main__":

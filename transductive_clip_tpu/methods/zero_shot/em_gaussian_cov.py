@@ -33,6 +33,16 @@ from .soft_kmeans import weighted_centroids
 from ...ops.precision import f32_einsum
 
 _CHUNK = 128
+# bound on the [N, n, c, d] fp32 temporary the 'direct' (reference-shaped)
+# path materializes per class chunk; the chunk width shrinks with the batch
+# so peak memory stays flat regardless of task-batch shape (at the ImageNet
+# protocol with 100-task batches: c=35 -> ~1 GB, vs ~3.8 GB at a fixed 128)
+_CHUNK_BYTES = 1 << 30
+
+
+def _chunk_width(n_task, n_query, d):
+    c = _CHUNK_BYTES // max(1, 4 * n_task * n_query * d)
+    return int(min(_CHUNK, max(8, c)))
 
 
 def _weighted_sq_dev(u, query, query_sq, w):
@@ -47,11 +57,12 @@ def _weighted_sq_dev_direct(u, query, w):
     """Reference-shaped (x - w)^2 form, chunked over classes
     (reference: em_gaussian_cov.py:172-181)."""
     outs = []
-    for c0 in range(0, w.shape[1], _CHUNK):
-        wc = w[:, c0:c0 + _CHUNK]                                 # [N, c, d]
+    chunk = _chunk_width(*query.shape)
+    for c0 in range(0, w.shape[1], chunk):
+        wc = w[:, c0:c0 + chunk]                                  # [N, c, d]
         diff = wc[:, None, :, :] - query[:, :, None, :]           # [N, n, c, d]
         outs.append(
-            f32_einsum("tnk,tnkd->tkd", u[:, :, c0:c0 + _CHUNK], diff * diff)
+            f32_einsum("tnk,tnkd->tkd", u[:, :, c0:c0 + chunk], diff * diff)
         )
     return jnp.concatenate(outs, axis=1)
 
@@ -68,9 +79,10 @@ def _precision_logits_direct(query, w, s):
     """Reference-shaped -1/2 sum_d s_kd (x_nd - w_kd)^2, chunked over
     classes (reference: em_gaussian_cov.py:106-115)."""
     outs = []
-    for c0 in range(0, w.shape[1], _CHUNK):
-        wc = w[:, c0:c0 + _CHUNK]
-        sc = s[:, c0:c0 + _CHUNK]
+    chunk = _chunk_width(*query.shape)
+    for c0 in range(0, w.shape[1], chunk):
+        wc = w[:, c0:c0 + chunk]
+        sc = s[:, c0:c0 + chunk]
         diff = query[:, :, None, :] - wc[:, None, :, :]           # [N, n, c, d]
         outs.append(jnp.sum(diff * diff * sc[:, None, :, :], axis=-1))
     return -0.5 * jnp.concatenate(outs, axis=2)

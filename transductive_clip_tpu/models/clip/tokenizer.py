@@ -87,6 +87,13 @@ class SimpleTokenizer:
         # like 'café' stay one word token, as with OpenAI's regex pattern);
         # underscore counts as punctuation like the reference's
         # [^\s\p{L}\p{N}] class.
+        # stdlib-re transliteration of OpenAI's \p{L}+|\p{N}|... pattern.
+        # Known divergence: \d matches only Unicode Nd digits while \p{N}
+        # also covers No/Nl numerics ('HALF'-style fractions, Roman
+        # numerals) — such characters fall into the letter class here and
+        # tokenize differently. No effect on the protocol's ASCII
+        # classnames; install the third-party `regex` module and use
+        # \p{L}/\p{N} if exact parity on exotic numerics matters.
         self.pat = re.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
             r"[^\W\d_]+|\d|(?:[^\w\s]|_)+",
