@@ -105,21 +105,23 @@ def main():
         })
         return u
 
-    prod = dict(solver=fast_solver, compact=True, early_stop=True)
+    # production default: compact_first engages behind the evaluator's
+    # first-batch guard (methods/zero_shot/em_dirichlet.py), so steady-state
+    # batches run exactly this configuration
+    prod = dict(solver=fast_solver, compact=True, early_stop=True,
+                compact_first=True)
+    floor = dict(solver=fast_solver, compact=True, early_stop=True)
     exact = dict(solver="mm", compact=False, early_stop=False)
     if not args.skip_zero_shot:
         u_soft = bench_method("headline_soft_production", REF_SOFT,
                               n_iter=20, iter_mm=1000, hard=False, **prod)
         bench_method("headline_hard_production", REF_HARD,
                      n_iter=10, iter_mm=1000, hard=True, **prod)
-        # opt-in compact_first_iter (see em_dirichlet.py docstring: exact at
-        # protocol-like feature peaking, validate before enabling)
-        bench_method("headline_soft_compact_first_opt_in", REF_SOFT,
-                     n_iter=20, iter_mm=1000, hard=False,
-                     compact_first=True, **prod)
-        bench_method("headline_hard_compact_first_opt_in", REF_HARD,
-                     n_iter=10, iter_mm=1000, hard=True,
-                     compact_first=True, **prod)
+        # guard-tripped fallback configuration (full-width first iteration)
+        bench_method("headline_soft_no_compact_first", REF_SOFT,
+                     n_iter=20, iter_mm=1000, hard=False, **floor)
+        bench_method("headline_hard_no_compact_first", REF_HARD,
+                     n_iter=10, iter_mm=1000, hard=True, **floor)
         bench_method("reference_exact_soft", REF_SOFT,
                      n_iter=20, iter_mm=1000, hard=False, **exact)
         bench_method("reference_exact_hard", REF_HARD,
