@@ -166,6 +166,9 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
         u, query, jnp.asarray(y_q, jnp.int32), jnp.float32(cfg.T), tf,
         use_softmax, R, graph_matching,
     )
+    # one combined transfer for everything small — each host round trip on
+    # a tunneled link costs whole milliseconds, so acc/preds/ok ship together
+    acc, new_preds, ok = jax.device_get((acc_d, new_preds_d, ok))
     if graph_matching and not bool(ok):
         # auction hit its iteration budget with unassigned rows
         # (pathological tie structure); fall back to the exact host solver
@@ -176,7 +179,7 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
         )
         acc = (new_preds == y_q).mean(axis=1, keepdims=True)
         return acc.astype(np.float32), new_preds
-    return np.asarray(acc_d), np.asarray(new_preds_d)
+    return acc, new_preds
 
 
 def _clustering_accuracy_host(u, query, y_q, cfg, text_features=None):
@@ -417,6 +420,9 @@ class TransductiveMethod:
         else:
             acc, preds = direct_accuracy(u, y_q)
 
+        # one transfer for the remaining small outputs (tunneled links pay
+        # whole milliseconds per round trip)
+        criterions, n_exec = jax.device_get((criterions, n_exec))
         criterions = np.asarray(criterions)
         n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
@@ -461,6 +467,7 @@ class FewShotMethod(TransductiveMethod):
         n_task = query.shape[0]
 
         acc, preds = direct_accuracy(u, y_q)
+        criterions, n_exec = jax.device_get((criterions, n_exec))
         criterions = np.asarray(criterions)
         n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
