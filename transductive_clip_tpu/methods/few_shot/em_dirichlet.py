@@ -105,12 +105,18 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
                                mesh=mesh)
         alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
         alpha = con(alpha, "dp", None, "tp")
+        # compact-row criterion ingredients (alpha changed nowhere else);
+        # also frees XLA to scatter into alpha in place — the full-width
+        # criterion kept alpha_old alive and forced a [N, K, K] copy
+        diff_ss = jnp.sum((alpha_c - alpha_c_old) ** 2, axis=(1, 2))
+        delta_ss = jnp.sum(alpha_c ** 2, axis=(1, 2)) - jnp.sum(
+            alpha_c_old ** 2, axis=(1, 2))
         # incremental logits-cache update at the changed rows only (same
         # trick as the zero-shot path; values identical, ~K/C less work)
         l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q)
         l3 = con(l3, "dp", None, None)
         u = finish_step(u, l12, l3)
-        return u, alpha, l12, l3
+        return u, alpha, l12, l3, diff_ss, delta_ss
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -119,21 +125,31 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         rel = diff / denom
         return jnp.mean(rel), jnp.max(rel)
 
+    def crit_from_ss(diff_ss, ss_before):
+        rel = jnp.sqrt(diff_ss) / jnp.sqrt(ss_before)
+        return jnp.mean(rel), jnp.max(rel)
+
     # iteration 1 always solves all K rows (every class carries support
     # statistics, so all alpha rows get their support-anchored fixed point)
     u, alpha, l12, l3 = step_full(u0, alpha0)
     first_crit, first_max = crit_fn(alpha0, alpha)
+    # carried ||alpha||^2 for the compact criterion (one full read, once)
+    ss = (jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1) if use_compact
+          else jnp.zeros((n_task,), jnp.float32))
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, alpha_old, l12, l3, it, crits, _ = carry
+        u, alpha_old, l12, l3, ss, it, crits, _ = carry
         if use_compact:
-            u, alpha, l12, l3 = step_compact(u, alpha_old, l12, l3)
+            u, alpha, l12, l3, diff_ss, delta_ss = step_compact(
+                u, alpha_old, l12, l3)
+            crit, crit_max = crit_from_ss(diff_ss, ss)
+            ss = ss + delta_ss
         else:
             u, alpha, l12, l3 = step_full(u, alpha_old)
-        crit, crit_max = crit_fn(alpha_old, alpha)
+            crit, crit_max = crit_fn(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, alpha, l12, l3, it + 1, crits, crit_max
+        return u, alpha, l12, l3, ss, it + 1, crits, crit_max
 
     def cond(carry):
         *_, it, _, crit_max = carry
@@ -142,9 +158,9 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, it, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, _, it, criterions, _ = jax.lax.while_loop(
         cond, body,
-        (u, alpha, l12, l3, jnp.array(1, jnp.int32), crits0, first_max),
+        (u, alpha, l12, l3, ss, jnp.array(1, jnp.int32), crits0, first_max),
     )
     if return_n_iter:
         # executed outer-iteration count: makes the synthesized
