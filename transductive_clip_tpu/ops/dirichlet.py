@@ -240,13 +240,23 @@ def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples):
     """Incremental ``dirichlet_logits_cache`` update at cluster rows ``idx``
     ([..., C]) whose parameters changed to ``alpha_c`` ([..., C, d]) —
     numerically the same values the full recomputation would produce, with
-    C/K of the work."""
+    C/K of the work.
+
+    The lane replacement is a one-hot contraction + mask, not a scatter:
+    TPU scatters serialize per index (put_along_axis on the [N, n, K] cache
+    measured 5 ms vs ~0 for the matmul form at the ImageNet protocol), and
+    with distinct indices the 0/1 contraction reproduces the scattered
+    values bit-exactly (every non-matching term is an exact 0.0)."""
+    k = l12.shape[-1]
+    onehot = (idx[..., None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    keep = 1.0 - jnp.max(onehot, axis=-2)                     # [..., K]
+
     l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))
              - jnp.sum(gammaln(alpha_c), axis=-1))
-    l12 = jnp.put_along_axis(l12, idx, l12_c, axis=-1, inplace=False)
+    l12 = l12 * keep + f32_einsum("...c,...ck->...k", l12_c, onehot)
     l3_c = f32_einsum("...nd,...cd->...nc", log_samples, alpha_c - 1.0)
-    idx_b = jnp.broadcast_to(idx[..., None, :], l3_c.shape)
-    l3 = jnp.put_along_axis(l3, idx_b, l3_c, axis=-1, inplace=False)
+    l3 = (l3 * keep[..., None, :]
+          + f32_einsum("...nc,...ck->...nk", l3_c, onehot))
     return l12, l3
 
 
