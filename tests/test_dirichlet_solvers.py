@@ -93,3 +93,32 @@ def test_mm_update_runs_exactly_iter_mm_updates(rng):
         np.testing.assert_array_equal(
             got, want, err_msg=f"iter_mm={iter_mm} ran a different count"
         )
+
+
+def test_update_logits_cache_rows_matches_full_recompute(rng):
+    """The incremental one-hot-contraction cache update must reproduce the
+    full dirichlet_logits_cache recomputation bit-for-bit at the changed
+    rows and leave the rest untouched (the matmul form replaces TPU lane
+    scatters; exactness relies on distinct indices and exact 0/1 terms)."""
+    from transductive_clip_tpu.ops.dirichlet import (
+        dirichlet_logits_cache,
+        update_logits_cache_rows,
+    )
+
+    N, n, K, C = 3, 7, 40, 9
+    log_x = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=(N, n)) + 1e-15),
+                        jnp.float32)
+    alpha = jnp.asarray(rng.gamma(2.0, size=(N, K, K)), jnp.float32)
+    l12, l3 = dirichlet_logits_cache(log_x, alpha)
+    idx = jnp.asarray(
+        np.stack([rng.choice(K, C, replace=False) for _ in range(N)]),
+        jnp.int32,
+    )
+    alpha_c = jnp.asarray(rng.gamma(2.0, size=(N, C, K)), jnp.float32)
+
+    l12_inc, l3_inc = update_logits_cache_rows(l12, l3, idx, alpha_c, log_x)
+
+    alpha_full = alpha.at[jnp.arange(N)[:, None], idx].set(alpha_c)
+    l12_full, l3_full = dirichlet_logits_cache(log_x, alpha_full)
+    np.testing.assert_array_equal(np.asarray(l12_inc), np.asarray(l12_full))
+    np.testing.assert_array_equal(np.asarray(l3_inc), np.asarray(l3_full))

@@ -82,10 +82,13 @@ def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
     else:
         cols = jnp.argmax(probs, axis=-1)
         ok = jnp.asarray(True)
-    lut = jnp.zeros((n_task, n_class), preds.dtype).at[
-        jnp.arange(n_task)[:, None], idx
-    ].set(cols.astype(preds.dtype))
-    new_preds = jnp.take_along_axis(lut, preds, axis=1)
+    # rename via a dense match-select (idx rows are distinct, so each pred
+    # matches at most one row; unmatched preds -> 0 like the zero-filled
+    # LUT). A scatter+gather LUT serializes the scatter on TPU.
+    match = preds[:, :, None] == idx[:, None, :]                # [N, n, R]
+    new_preds = jnp.sum(
+        jnp.where(match, cols[:, None, :].astype(preds.dtype), 0), axis=2
+    )
     acc = jnp.mean((new_preds == y_q).astype(jnp.float32), axis=1,
                    keepdims=True)
     return acc, new_preds, ok, preds, idx, probs
