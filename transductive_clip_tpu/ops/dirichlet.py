@@ -218,6 +218,12 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
             out = _shard_map_rows(fn, alpha0, y_cst, mesh)
             if out is not None:
                 return out
+            # task axis cannot split across dp: fall back to the XLA solver
+            # of the SAME family — mm_pallas is the reference-exact
+            # iteration, so its fallback must be the exact MM loop, not
+            # Minka (different iteration, ignores iter_mm)
+            if solver == "mm_pallas":
+                return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)
             return minka_update_alpha(alpha0, y_cst)
         return fn(alpha0, y_cst)
     if solver == "minka":

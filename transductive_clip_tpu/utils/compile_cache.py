@@ -18,11 +18,25 @@ import socket
 def _cpu_fingerprint() -> str:
     bits = [platform.machine(), platform.processor() or ""]
     try:
+        import jaxlib
+
+        # XLA:CPU AOT artifacts are tied to the compiling jaxlib's LLVM
+        # feature set as well as the CPU
+        bits.append(jaxlib.__version__)
+    except Exception:
+        pass
+    # model name + microcode distinguish microarchitectures whose feature
+    # flags line happens to match; take the first occurrence of each
+    wanted = ("flags", "Features", "model name", "microcode", "cpu family",
+              "model\t")
+    seen = set()
+    try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if line.startswith(wanted) and key not in seen:
+                    seen.add(key)
                     bits.append(line.strip())
-                    break
     except OSError:
         pass
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:10]
