@@ -46,8 +46,8 @@ from functools import partial
 
 
 def _matching_backend(cfg):
-    """'auto' (default) -> the on-device auction on TPU (measured 2.2 vs
-    5.8 ms/task for the host JV at K=1000; scripts/bench_suite.py), the host
+    """'auto' (default) -> the on-device auction on TPU (measured 0.4 vs
+    ~9 ms/task for the host JV at K=1000; scripts/bench_suite.py), the host
     JV solver elsewhere."""
     backend = str(cfg.get("matching_backend", "auto"))
     if backend == "auto":
