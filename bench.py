@@ -40,6 +40,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from transductive_clip_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(jax)
+
     from transductive_clip_tpu.methods.zero_shot.em_dirichlet import (
         em_dirichlet_infer,
     )

@@ -53,6 +53,14 @@ def maybe_load_clip(args):
 
 def main():
     args = parse_args()
+    # persistent XLA compile cache (CPU-feature-fingerprinted): first
+    # compiles on a tunneled TPU cost 30-60 s per program; later CLI runs
+    # with the same shapes start from the cache
+    import jax
+
+    from transductive_clip_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(jax)
     if args.seed is not None:
         random.seed(args.seed)
         np.random.seed(args.seed)
