@@ -235,3 +235,25 @@ def test_pallas_solver_mesh_fallback_on_indivisible_tasks():
     got = np.asarray(update_alpha(a0, y, solver="pallas", mesh=mesh))
     want = np.asarray(minka_update_alpha(a0, y))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mm_pallas_mesh_fallback_is_reference_exact():
+    """When the task axis cannot split across dp, solver='mm_pallas' must
+    fall back to the XLA MM loop (the same reference-exact iteration,
+    honoring iter_mm) — not to Minka (code-review fix)."""
+    from transductive_clip_tpu.ops.dirichlet import (
+        mm_update_alpha,
+        update_alpha,
+    )
+
+    rng = np.random.default_rng(5)
+    K = 8
+    xs = rng.dirichlet(np.ones(K) * 0.4, size=300)
+    y = jnp.asarray(np.tile(np.log(xs + 1e-15).mean(0), (3, K, 1)), jnp.float32)
+    a0 = jnp.ones((3, K, K), jnp.float32)
+
+    mesh = make_mesh(n_devices=4, tp=2)
+    got = np.asarray(update_alpha(a0, y, iter_mm=60, solver="mm_pallas",
+                                  mesh=mesh))
+    want = np.asarray(mm_update_alpha(a0, y, iter_mm=60))
+    np.testing.assert_array_equal(got, want)
