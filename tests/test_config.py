@@ -75,3 +75,28 @@ def test_int_to_float_coercion():
     cfg = CfgNode({"temp": 30.0})
     out = merge_cfg_from_list(cfg, ["temp", "15"])
     assert out.temp == 15.0 and isinstance(out.temp, float)
+
+
+def test_reproduce_tables_parses_baseline():
+    """reproduce_tables.py must recover every mapped Table 1/2 row and the
+    11 dataset columns from BASELINE.md (guards the regex against doc
+    edits)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import reproduce_tables as rt
+
+    tables = rt.parse_baseline_tables(os.path.join(repo, "BASELINE.md"))
+    assert set(tables) == {1, 2}
+    t1 = tables[1]
+    mapped1 = [k for k in t1 if k in rt.TABLE1_ROWS]
+    assert len(mapped1) == len(rt.TABLE1_ROWS)
+    assert all(len(t1[k]) == 11 for k in mapped1), "11 dataset columns"
+    # spot-check two published numbers
+    assert t1["Hard EM-Dirichlet (prob.)"]["imagenet"] == 77.6
+    assert t1["Zero-shot CLIP (inductive)"]["food101"] == 77.1
+    t2 = tables[2]
+    mapped2 = [k for k in t2 if k in rt.TABLE2_ROWS]
+    assert len(mapped2) >= 6
