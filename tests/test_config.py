@@ -100,3 +100,41 @@ def test_reproduce_tables_parses_baseline():
     t2 = tables[2]
     mapped2 = [k for k in t2 if k in rt.TABLE2_ROWS]
     assert len(mapped2) >= 6
+
+
+def test_reproduce_tables_run_branch(tmp_path):
+    """reproduce_tables.run_cell must drive the real evaluator end-to-end
+    against a feature-cache root and return an accuracy (validated with a
+    separable synthetic cache; published-number comparison then happens in
+    main())."""
+    import os
+    import pickle
+    import sys
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import reproduce_tables as rt
+
+    root = tmp_path / "data"
+    (root / "eurosat" / "saved_features").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    K, N = 10, 2000
+    labels = rng.integers(0, K, N)
+    g = rng.gamma(1.0, size=(N, K)).astype(np.float32)
+    g[np.arange(N), labels] += 40
+    with open(root / "eurosat" / "saved_features"
+              / "test_softmax_RN50_T30.plk", "wb") as f:
+        pickle.dump({"concat_features": g / g.sum(-1, keepdims=True),
+                     "concat_labels": labels}, f)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # keep any relative paths inside the sandbox
+    try:
+        acc = rt.run_cell("em_dirichlet", "eurosat", True, shots=0,
+                          number_tasks=20, batch_size=10, seed=0,
+                          root=str(root))
+    finally:
+        os.chdir(cwd)
+    assert acc > 95.0  # separable synthetic features
