@@ -257,3 +257,42 @@ def test_mm_pallas_mesh_fallback_is_reference_exact():
                                   mesh=mesh))
     want = np.asarray(mm_update_alpha(a0, y, iter_mm=60))
     np.testing.assert_array_equal(got, want)
+
+
+def test_few_shot_pallas_solver_on_tp_mesh_matches_single_device():
+    """Few-shot EM-Dirichlet with the production Pallas solver under a
+    (dp, tp) mesh must match single-device (support statistics fixed in
+    y_cst; same shard_map row partitioning as the zero-shot path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transductive_clip_tpu.methods.few_shot.em_dirichlet import (
+        em_dirichlet_fs_infer,
+    )
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+
+    rng = np.random.default_rng(6)
+    n_task, n_query, K, shots = 4, 8, 16, 2
+    xs, ys, xq, yq = make_few_shot_tasks(rng, n_task, n_query, K, shots)
+    lambd = jnp.float32(int(K / 5) * n_query)
+    kw = dict(n_iter=3, iter_mm=60, n_class=K, hard=False, solver="pallas",
+              early_stop=True)
+
+    u_ref, crit_ref = em_dirichlet_fs_infer(
+        jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys, jnp.int32), lambd,
+        **kw,
+    )
+    mesh = make_mesh(n_devices=4, tp=2)
+    put = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P("dp", None, None)))
+    u_dist, crit_dist = em_dirichlet_fs_infer(
+        put(xs), put(xq),
+        jax.device_put(jnp.asarray(ys, jnp.int32),
+                       NamedSharding(mesh, P("dp", None))),
+        lambd, mesh=mesh, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_dist), np.asarray(u_ref), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(crit_dist), np.asarray(crit_ref), rtol=2e-3, atol=1e-5
+    )
