@@ -187,3 +187,58 @@ def test_compact_first_guard_keeps_fast_path_on_peaked_features(rng):
     method.run_task({"x_q": x, "y_q": y[..., None]})
     assert method.compact_first is True
     assert method._cf_guard_pending is False
+
+
+def test_fast_tier_equals_wide_tier(rng):
+    """The two-tier compact step's fast path (n_fast rows) must produce
+    bit-identical results to the wide tier whenever the populated-count
+    gate lets it engage — the wide tier's extra rows are solved-then-
+    restored no-ops."""
+    import transductive_clip_tpu.methods.zero_shot.em_dirichlet as em
+
+    x, y = make_simplex_tasks(
+        rng, n_task=4, n_query=20, n_class=300, k_eff=6, concentration=60.0
+    )
+    lambd = float(int(300 / 5) * 20)
+    kw = dict(n_iter=8, iter_mm=300, solver="minka", compact=True,
+              compact_first=True, early_stop=False)
+    u_fast, c_fast = em.em_dirichlet_infer(
+        jnp.asarray(x), jnp.float32(lambd), hard=False, **kw)
+
+    # force the wide tier by disabling the fast one
+    orig = em._COMPACT_FAST
+    em._COMPACT_FAST = 10**9
+    em.em_dirichlet_infer.clear_cache()
+    try:
+        u_wide, c_wide = em.em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), hard=False, **kw)
+    finally:
+        em._COMPACT_FAST = orig
+        em.em_dirichlet_infer.clear_cache()
+    np.testing.assert_array_equal(np.asarray(u_fast), np.asarray(u_wide))
+    np.testing.assert_array_equal(np.asarray(c_fast), np.asarray(c_wide))
+
+
+def test_fast_tier_gate_rejects_flat_features(rng):
+    """Flat features populate more clusters than the fast tier; the exact
+    gate must route to the wide tier and keep results identical to a
+    wide-only run."""
+    import transductive_clip_tpu.methods.zero_shot.em_dirichlet as em
+
+    x, _ = _flat_feature_tasks(rng, n_task=2, n_query=20, n_class=300,
+                               conc=5.0)
+    lambd = float(int(300 / 5) * 20)
+    kw = dict(n_iter=4, iter_mm=300, solver="minka", compact=True,
+              compact_first=True, early_stop=False)
+    u_auto, _ = em.em_dirichlet_infer(
+        jnp.asarray(x), jnp.float32(lambd), hard=False, **kw)
+    orig = em._COMPACT_FAST
+    em._COMPACT_FAST = 10**9
+    em.em_dirichlet_infer.clear_cache()
+    try:
+        u_wide, _ = em.em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), hard=False, **kw)
+    finally:
+        em._COMPACT_FAST = orig
+        em.em_dirichlet_infer.clear_cache()
+    np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_wide))

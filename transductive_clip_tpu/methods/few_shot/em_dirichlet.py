@@ -109,8 +109,9 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         # also frees XLA to scatter into alpha in place — the full-width
         # criterion kept alpha_old alive and forced a [N, K, K] copy
         diff_ss = jnp.sum((alpha_c - alpha_c_old) ** 2, axis=(1, 2))
-        delta_ss = jnp.sum(alpha_c ** 2, axis=(1, 2)) - jnp.sum(
-            alpha_c_old ** 2, axis=(1, 2))
+        # elementwise difference BEFORE the reduction: restored rows are
+        # exact zeros, so the sum is bit-identical for any solve-tier width
+        delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
         # incremental logits-cache update at the changed rows only (same
         # trick as the zero-shot path; values identical, ~K/C less work)
         l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q)

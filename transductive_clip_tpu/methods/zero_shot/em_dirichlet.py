@@ -55,6 +55,11 @@ from ..base import TransductiveMethod
 
 # margin on top of n_query for the compacted cluster count
 _COMPACT_MARGIN = 16
+# fast-tier row count: once assignments concentrate (typically <= k_eff <= 10
+# populated clusters at the protocol), the solve runs on this many rows
+# instead of n_query+margin — gated EXACTLY on the populated count, so it is
+# an execution-plan choice, not an approximation
+_COMPACT_FAST = 32
 
 
 def compaction_geometry(n_query: int, n_class: int):
@@ -126,8 +131,9 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     # it to keep the old value alive for a full-width criterion
     # (~2 GB/iteration of HBM traffic saved at ImageNet scale).
     diff_ss = jnp.sum((alpha_c - alpha_c_old) ** 2, axis=(1, 2))    # [N]
-    delta_ss = jnp.sum(alpha_c ** 2, axis=(1, 2)) - jnp.sum(
-        alpha_c_old ** 2, axis=(1, 2))
+    # elementwise difference BEFORE the reduction: restored rows are
+    # exact zeros, so the sum is bit-identical for any solve-tier width
+    delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
 
     # incremental logits-cache update at the changed rows only
     l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query)
@@ -192,6 +198,30 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
 
     n_compact, engaged = compaction_geometry(n_query, n_class)
     use_compact = compact and engaged
+    n_fast = min(_COMPACT_FAST, n_compact)
+
+    def compact_step(u, alpha_old, l12, l3):
+        """Two-tier compact iteration: when every task's populated-cluster
+        count fits in the fast tier, solve only ``n_fast`` rows (the top-k
+        by mass covers every populated cluster, and rows with zero mass are
+        solved-then-restored no-ops in the wide tier — identical results by
+        construction); otherwise run the full ``n_compact`` tier. The gate
+        is exact, so this changes execution cost only (the Minka solve is
+        ~80% of the iteration; 91 -> 32 rows is ~2.5x of it)."""
+        args = (u, alpha_old, l12, l3)
+
+        def tier(rows):
+            return lambda ops: _em_step_compact(
+                *ops, log_query, lambd, n_query, n_class, iter_mm, solver,
+                hard, rows, con, mesh,
+            )
+
+        if n_fast >= n_compact:
+            return tier(n_compact)(args)
+        populated = jnp.sum(jnp.sum(u, axis=1) > EPS, axis=-1)    # [N]
+        return jax.lax.cond(
+            jnp.max(populated) <= n_fast, tier(n_fast), tier(n_compact), args
+        )
 
     alpha_old = alpha
     ss = jnp.full((n_task,), float(n_class) * n_class, jnp.float32)
@@ -210,9 +240,8 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         l12 = jnp.full((n_task, n_class), math.lgamma(n_class), jnp.float32)
         l3 = con(jnp.zeros((n_task, n_query, n_class), jnp.float32),
                  "dp", None, None)
-        u, alpha, l12, l3, diff_ss, delta_ss = _em_step_compact(
-            u, alpha, l12, l3, log_query, lambd, n_query, n_class,
-            iter_mm, solver, hard, n_compact, con, mesh,
+        u, alpha, l12, l3, diff_ss, delta_ss = compact_step(
+            u, alpha, l12, l3
         )
         # ||ones||^2 = K*K exactly; no full-tensor read anywhere
         first_crit, first_max = _criterion_from_ss(diff_ss, ss)
@@ -232,9 +261,8 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     def body(carry):
         u, alpha_old, l12, l3, ss, it, crits, _ = carry
         if use_compact:
-            u, alpha, l12, l3, diff_ss, delta_ss = _em_step_compact(
-                u, alpha_old, l12, l3, log_query, lambd, n_query,
-                n_class, iter_mm, solver, hard, n_compact, con, mesh,
+            u, alpha, l12, l3, diff_ss, delta_ss = compact_step(
+                u, alpha_old, l12, l3
             )
             crit, crit_max = _criterion_from_ss(diff_ss, ss)
             ss = ss + delta_ss
