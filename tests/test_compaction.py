@@ -190,10 +190,11 @@ def test_compact_first_guard_keeps_fast_path_on_peaked_features(rng):
 
 
 def test_fast_tier_equals_wide_tier(rng):
-    """The two-tier compact step's fast path (n_fast rows) must produce
-    bit-identical results to the wide tier whenever the populated-count
-    gate lets it engage — the wide tier's extra rows are solved-then-
-    restored no-ops."""
+    """The two-tier compact step's fast path (n_fast solve rows) must
+    produce bit-identical results to the wide tier whenever the
+    populated-count gate lets it engage — empty rows are frozen and
+    criterion-excluded inside the solver, so the wide tier's extra rows
+    are exact no-ops."""
     import transductive_clip_tpu.methods.zero_shot.em_dirichlet as em
 
     x, y = make_simplex_tasks(
@@ -241,4 +242,80 @@ def test_fast_tier_gate_rejects_flat_features(rng):
     finally:
         em._COMPACT_FAST = orig
         em.em_dirichlet_infer.clear_cache()
+    np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_wide))
+
+
+def _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw):
+    import jax.numpy as jnp
+
+    return em_fs.em_dirichlet_fs_infer(
+        jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+        jnp.float32(lambd), **kw)
+
+
+def test_fs_fast_tier_equals_wide_tier(rng):
+    """Few-shot two-tier compact solve: the fast tier must be bit-identical
+    to the wide tier when the populated-count gate engages — zero-query-mass
+    rows are frozen at their support-anchored iteration-1 fixed point in
+    both tiers, so the wide tier's extra rows are exact no-ops."""
+    import transductive_clip_tpu.methods.few_shot.em_dirichlet as em_fs
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+
+    x_s, y_s, x_q, y_q = make_few_shot_tasks(
+        rng, 3, 20, 300, 1, k_eff=5, concentration=60.0)
+    lambd = float(int(300 / 5) * 20)
+    kw = dict(n_iter=8, iter_mm=300, n_class=300, hard=False, solver="minka",
+              early_stop=False, compact=True)
+    u_fast, c_fast = _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw)
+    # the setup must actually exercise the gate: populated count well under
+    # the fast tier, n_compact wider than the fast tier
+    pop = np.count_nonzero(np.asarray(u_fast).sum(1) > 0, axis=-1)
+    assert pop.max() <= em_fs._COMPACT_FAST < 20 + em_fs._COMPACT_MARGIN
+
+    orig = em_fs._COMPACT_FAST
+    em_fs._COMPACT_FAST = 10**9
+    em_fs.em_dirichlet_fs_infer.clear_cache()
+    try:
+        u_wide, c_wide = _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw)
+    finally:
+        em_fs._COMPACT_FAST = orig
+        em_fs.em_dirichlet_fs_infer.clear_cache()
+    np.testing.assert_array_equal(np.asarray(u_fast), np.asarray(u_wide))
+    np.testing.assert_array_equal(np.asarray(c_fast), np.asarray(c_wide))
+
+
+def test_fs_fast_tier_gate_rejects_flat_features(rng):
+    """Near-flat query features populate more clusters than the fast tier
+    early on (the gate must route those iterations to the wide solve), then
+    concentrate below it (fast engages) — the mixed-route run must equal a
+    wide-only run bit for bit."""
+    import transductive_clip_tpu.methods.few_shot.em_dirichlet as em_fs
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+
+    x_s, y_s, _, _ = make_few_shot_tasks(
+        rng, 2, 60, 300, 1, k_eff=5, concentration=60.0)
+    x_q, _ = _flat_feature_tasks(rng, n_task=2, n_query=60, n_class=300,
+                                 conc=5.0)
+    lambd = float(int(300 / 5) * 60)
+    kw = dict(n_iter=4, iter_mm=300, n_class=300, hard=False, solver="minka",
+              early_stop=False, compact=True)
+    # the scenario must actually hit BOTH routes: after iteration 1 the
+    # populated count exceeds the fast tier (gate rejects), by the last
+    # iteration it fits (gate engages)
+    u1, _ = _fs_run(em_fs, x_s, y_s, x_q, lambd,
+                    **{**kw, "n_iter": 1})
+    pop1 = np.count_nonzero(np.asarray(u1).sum(1) > 0, axis=-1)
+    assert pop1.max() > em_fs._COMPACT_FAST
+    u_auto, _ = _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw)
+    pop4 = np.count_nonzero(np.asarray(u_auto).sum(1) > 0, axis=-1)
+    assert pop4.max() <= em_fs._COMPACT_FAST
+
+    orig = em_fs._COMPACT_FAST
+    em_fs._COMPACT_FAST = 10**9
+    em_fs.em_dirichlet_fs_infer.clear_cache()
+    try:
+        u_wide, _ = _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw)
+    finally:
+        em_fs._COMPACT_FAST = orig
+        em_fs.em_dirichlet_fs_infer.clear_cache()
     np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_wide))

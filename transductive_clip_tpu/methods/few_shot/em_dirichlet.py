@@ -16,6 +16,13 @@ TPU optimizations (results preserved; see tests/test_compaction.py):
   a post-run sparsity check warns if more clusters carried mass. At the
   Table-2 ImageNet protocol this removes ~92% of the per-iteration solver
   work (set ``compact_clusters: False`` for the guaranteed-exact path).
+  Zero-query-mass rows inside the compact set are frozen too (their y is
+  pure support statistics, constant since iteration 1), matching the
+  outside-set freeze.
+* two-tier solve width: gated exactly on the per-task populated-cluster
+  count, the per-iteration solve drops from n_query+margin rows to 32 once
+  assignments concentrate (<= k_eff clusters at the protocol) — bit-exact
+  by the freeze above (tests/test_compaction.py::test_fs_fast_tier*).
 * outer-loop early stopping gated on the per-task max relative alpha change.
 """
 
@@ -36,6 +43,11 @@ from ...ops.precision import f32_einsum
 from ..base import FewShotMethod
 
 _COMPACT_MARGIN = 16
+# fast-tier row count for the two-tier compact solve (see the zero-shot
+# module): at the protocol only <= k_eff clusters ever carry query mass, so
+# once assignments concentrate the solve runs on this many rows instead of
+# n_query+margin — gated EXACTLY on the populated count
+_COMPACT_FAST = 32
 
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard",
@@ -91,6 +103,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         u = finish_step(u, l12, l3)
         return u, alpha, l12, l3
 
+    n_fast = min(_COMPACT_FAST, n_compact)
+
     def step_compact(u, alpha_old, l12, l3):
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
         mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
@@ -101,8 +115,36 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         y_c = (supp_c + query_stat_c) / (y_s_sum_c + mass)[..., None]
         y_c = con(y_c, "dp", None, "tp")
         alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
-        alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver,
-                               mesh=mesh)
+        row_mask = mass > 0                                       # [N, C]
+
+        # zero-query-mass rows have constant y (pure support stats) and sit
+        # at their iteration-1 fixed point already — the solver freezes
+        # them at alpha_c_old and excludes them from its convergence
+        # criterion (matching the freeze applied to rows OUTSIDE the
+        # compact set). The two-tier solve below is therefore exact: the
+        # gathers/einsums always run at n_compact width (fixed contraction
+        # width -> tier-independent bits), and only the solve — the
+        # dominant cost — drops to the first n_fast (top-mass) rows when
+        # every task's populated count fits.
+        def solve(a_old, y, m):
+            return update_alpha(a_old, y, iter_mm=iter_mm, solver=solver,
+                                mesh=mesh, row_mask=m)
+
+        if n_fast >= n_compact:
+            alpha_c = solve(alpha_c_old, y_c, row_mask)
+        else:
+            populated = jnp.sum(u_sum > 0, axis=-1)               # [N]
+
+            def fast(ops):
+                a_old, y, m = ops
+                a = solve(a_old[:, :n_fast], y[:, :n_fast], m[:, :n_fast])
+                return jnp.concatenate([a, a_old[:, n_fast:]], axis=1)
+
+            alpha_c = jax.lax.cond(
+                jnp.max(populated) <= n_fast, fast,
+                lambda ops: solve(*ops), (alpha_c_old, y_c, row_mask),
+            )
+        alpha_c = jnp.where(row_mask[..., None], alpha_c, alpha_c_old)
         alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
         alpha = con(alpha, "dp", None, "tp")
         # compact-row criterion ingredients (alpha changed nowhere else);
@@ -114,7 +156,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
         # incremental logits-cache update at the changed rows only (same
         # trick as the zero-shot path; values identical, ~K/C less work)
-        l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q)
+        l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q,
+                                           row_mask=mass > 0)
         l3 = con(l3, "dp", None, None)
         u = finish_step(u, l12, l3)
         return u, alpha, l12, l3, diff_ss, delta_ss

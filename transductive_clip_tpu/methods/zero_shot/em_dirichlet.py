@@ -99,7 +99,7 @@ def _em_step_full(u, alpha_old, log_query, lambd, n_query, n_class,
 
 def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
                      n_class, iter_mm, solver, hard, n_compact, con,
-                     mesh=None):
+                     mesh=None, n_fast=None):
     """EM iteration solving alpha only for the top-``n_compact`` clusters.
 
     The cluster-row gathers/scatters act on alpha's axis 1; the sharded axes
@@ -109,6 +109,15 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     scale this replaces a [N, K, K] lgamma pass + a [N, n, K]x[N, K, K]
     einsum per iteration with their C/K-sized slices (~10x less work,
     numerically the same values recomputed).
+
+    ``n_fast``: optional two-tier solve width. The gathers/einsums always
+    run at ``n_compact`` width (cheap, and a fixed contraction width keeps
+    their bits independent of the tier decision); only the alpha solve —
+    ~80% of the iteration — is tiered: when every task's populated-cluster
+    count fits in ``n_fast``, just the first ``n_fast`` (top-mass) rows are
+    solved and the tail keeps its old values. Empty rows are frozen and
+    criterion-excluded inside the solver either way (``row_mask``), so the
+    gate changes execution cost only, not results.
     """
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
@@ -118,8 +127,31 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     y_c, nonzero_c = clamped_cluster_means(num_c, mass, eps=EPS)
     y_c = con(y_c, "dp", None, "tp")
     alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
-    alpha_c = update_alpha(alpha_c_old, y_c, iter_mm=iter_mm, solver=solver,
-                           mesh=mesh)
+    row_mask = nonzero_c[..., 0]                                  # [N, C]
+
+    def solve(a_old, y, m):
+        # empty rows are frozen at a_old inside the solver and excluded
+        # from its convergence criterion, so the executed inner iteration
+        # count depends only on the populated rows — the wide tier's extra
+        # (empty) rows then cannot perturb the stop decision
+        return update_alpha(a_old, y, iter_mm=iter_mm, solver=solver,
+                            mesh=mesh, row_mask=m)
+
+    if n_fast is None or n_fast >= n_compact:
+        alpha_c = solve(alpha_c_old, y_c, row_mask)
+    else:
+        populated = jnp.sum(u_sum > EPS, axis=-1)                 # [N]
+
+        def fast(ops):
+            a_old, y, m = ops
+            a = solve(a_old[:, :n_fast], y[:, :n_fast], m[:, :n_fast])
+            # the tail rows carry no mass (gate) -> frozen at old values
+            return jnp.concatenate([a, a_old[:, n_fast:]], axis=1)
+
+        alpha_c = jax.lax.cond(
+            jnp.max(populated) <= n_fast, fast, lambda ops: solve(*ops),
+            (alpha_c_old, y_c, row_mask),
+        )
     alpha_c = jnp.where(nonzero_c, alpha_c, alpha_c_old)
     alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
     alpha = con(alpha, "dp", None, "tp")
@@ -136,7 +168,8 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
 
     # incremental logits-cache update at the changed rows only
-    l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query)
+    l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query,
+                                       row_mask=nonzero_c[..., 0])
     l3 = con(l3, "dp", None, None)
 
     u = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
@@ -201,26 +234,13 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     n_fast = min(_COMPACT_FAST, n_compact)
 
     def compact_step(u, alpha_old, l12, l3):
-        """Two-tier compact iteration: when every task's populated-cluster
-        count fits in the fast tier, solve only ``n_fast`` rows (the top-k
-        by mass covers every populated cluster, and rows with zero mass are
-        solved-then-restored no-ops in the wide tier — identical results by
-        construction); otherwise run the full ``n_compact`` tier. The gate
-        is exact, so this changes execution cost only (the Minka solve is
-        ~80% of the iteration; 91 -> 32 rows is ~2.5x of it)."""
-        args = (u, alpha_old, l12, l3)
-
-        def tier(rows):
-            return lambda ops: _em_step_compact(
-                *ops, log_query, lambd, n_query, n_class, iter_mm, solver,
-                hard, rows, con, mesh,
-            )
-
-        if n_fast >= n_compact:
-            return tier(n_compact)(args)
-        populated = jnp.sum(jnp.sum(u, axis=1) > EPS, axis=-1)    # [N]
-        return jax.lax.cond(
-            jnp.max(populated) <= n_fast, tier(n_fast), tier(n_compact), args
+        """Two-tier compact iteration: the alpha solve (the Minka solve is
+        ~80% of the iteration) runs on only ``n_fast`` top-mass rows when
+        every task's populated-cluster count fits — gated exactly inside
+        ``_em_step_compact``, bit-identical results either way."""
+        return _em_step_compact(
+            u, alpha_old, l12, l3, log_query, lambd, n_query, n_class,
+            iter_mm, solver, hard, n_compact, con, mesh, n_fast=n_fast,
         )
 
     alpha_old = alpha

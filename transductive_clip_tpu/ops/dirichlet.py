@@ -69,7 +69,7 @@ def _mm_iteration(alpha, y_cst, alpha_floor=1e-11):
 
 @partial(jax.jit, static_argnames=("iter_mm", "check_every"))
 def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
-                    check_every: int = 50):
+                    check_every: int = 50, row_mask=None):
     """Run the MM inner loop to (near) convergence, fully on device.
 
     alpha0, y_cst: [..., K, d]. Returns the converged alpha.
@@ -82,18 +82,37 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
     matching the reference's ``range(iter_mm)`` bound for any iter_mm
     (reference: em_dirichlet.py:160-177 — the criterion is the one-step
     delta at the checkpoint, not the change across the 50-iteration block).
+
+    ``row_mask`` ([..., K] bool, optional): rows where the mask is False are
+    FROZEN at ``alpha0`` and excluded from the convergence criterion. The
+    compact EM steps pass the populated-cluster mask so that the criterion
+    (and hence the executed iteration count) depends only on the populated
+    rows — this is what makes the two-tier solve width an execution-plan
+    choice with bit-identical results. ``row_mask=None`` keeps the
+    reference-exact all-rows criterion.
     """
+    step = _mm_iteration
+    if row_mask is not None:
+        mask = row_mask[..., None]
+
+        def step(a, y):
+            return jnp.where(mask, _mm_iteration(a, y), a)
+
     first = min(check_every, iter_mm)
     alpha = jax.lax.fori_loop(
-        0, first, lambda _, a: _mm_iteration(a, y_cst), alpha0
+        0, first, lambda _, a: step(a, y_cst), alpha0
     )
 
     def block(carry):
         alpha, it, _ = carry
         # checked step: one update, criterion on its single-step delta
-        alpha_new = _mm_iteration(alpha, y_cst)
-        num = jnp.sum((alpha_new - alpha) ** 2)
-        den = jnp.sum(alpha * alpha)
+        alpha_new = step(alpha, y_cst)
+        if row_mask is None:
+            num = jnp.sum((alpha_new - alpha) ** 2)
+            den = jnp.sum(alpha * alpha)
+        else:
+            num = jnp.sum((alpha_new - alpha) ** 2)   # frozen rows: exact 0
+            den = jnp.sum(jnp.where(mask, alpha, 0.0) ** 2)
         crit = num / jnp.maximum(den, 1e-30)
         # remaining block only runs when not converged (reference breaks
         # immediately at the checkpoint), clamped so total updates never
@@ -103,7 +122,7 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
             crit < tol,
             lambda a: a,
             lambda a: jax.lax.fori_loop(
-                0, rem, lambda _, x: _mm_iteration(x, y_cst), a
+                0, rem, lambda _, x: step(x, y_cst), a
             ),
             alpha_new,
         )
@@ -120,7 +139,8 @@ def mm_update_alpha(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
 
 @partial(jax.jit, static_argnames=("max_iters", "check_every", "newton_iters"))
 def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
-                       check_every: int = 4, newton_iters: int = 3):
+                       check_every: int = 4, newton_iters: int = 3,
+                       row_mask=None):
     """Fast fixed-point solve of the same MLE stationarity equation as
     ``mm_update_alpha``: psi(a_d) - psi(sum a) = y_d per cluster row.
 
@@ -130,12 +150,18 @@ def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
     than the reference's quadratic-surrogate MM loop — same solution, chosen
     by the ``dirichlet_solver: 'minka'`` config (default; 'mm' gives the
     reference-exact iteration path).
+
+    ``row_mask``: see ``mm_update_alpha`` — False rows are frozen at
+    ``alpha0`` and excluded from the convergence criterion.
     """
     from .special import digamma_pos, inv_digamma
 
     def one_iter(alpha):
         psi_sum = digamma_pos(jnp.sum(alpha, axis=-1, keepdims=True))
-        return inv_digamma(psi_sum + y_cst, newton_iters=newton_iters)
+        new = inv_digamma(psi_sum + y_cst, newton_iters=newton_iters)
+        if row_mask is not None:
+            new = jnp.where(row_mask[..., None], new, alpha)
+        return new
 
     def block(carry):
         alpha, it, _ = carry
@@ -144,7 +170,10 @@ def minka_update_alpha(alpha0, y_cst, max_iters: int = 60, tol: float = 1e-11,
             0, check_every, lambda _, a: one_iter(a), alpha
         )
         num = jnp.sum((alpha - prev) ** 2)
-        den = jnp.sum(prev * prev)
+        if row_mask is None:
+            den = jnp.sum(prev * prev)
+        else:
+            den = jnp.sum(jnp.where(row_mask[..., None], prev, 0.0) ** 2)
         crit = num / jnp.maximum(den, 1e-30)
         return alpha, it + check_every, crit
 
@@ -168,9 +197,11 @@ def _shard_map_rows(fn, alpha0, y_cst, mesh):
     collectives inside the kernel. GSPMD inserts the (cheap, ICI) all-to-all
     between the (dp, None, tp)-sharded EM state and the (dp, tp, None)
     solver layout at entry/exit. Rows are padded to a tp multiple with the
-    benign (alpha=1, y=-10) right-hand side also used for block padding.
+    ``ROW_FREEZE`` sentinel (frozen, criterion-excluded inside the kernel).
     """
     from jax.sharding import PartitionSpec as P
+
+    from .pallas_dirichlet import ROW_FREEZE
 
     dp, tp = mesh.shape["dp"], mesh.shape["tp"]
     n_task, n_rows, _ = alpha0.shape
@@ -180,7 +211,7 @@ def _shard_map_rows(fn, alpha0, y_cst, mesh):
     if rp != n_rows:
         pad = ((0, 0), (0, rp - n_rows), (0, 0))
         alpha0 = jnp.pad(alpha0, pad, constant_values=1.0)
-        y_cst = jnp.pad(y_cst, pad, constant_values=-10.0)
+        y_cst = jnp.pad(y_cst, pad, constant_values=ROW_FREEZE)
     spec = P("dp", "tp", None)
     out = jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
@@ -189,7 +220,7 @@ def _shard_map_rows(fn, alpha0, y_cst, mesh):
 
 
 def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
-                 mesh=None):
+                 mesh=None, row_mask=None):
     """Dispatch between the reference-exact MM solver (XLA or VMEM-resident
     Pallas), the fast Minka fixed point, and the fused Pallas Minka kernel
     (identical stationary equation).
@@ -200,12 +231,24 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
     shard_map-partitioned by rows (see ``_shard_map_rows``) — a bare
     ``pallas_call`` has no GSPMD partitioning rule and would otherwise be
     all-gathered onto every device.
+
+    ``row_mask`` ([..., K] bool, optional): False rows are frozen at
+    ``alpha0`` and excluded from every solver's convergence criterion (the
+    Pallas kernels receive it folded into y as the ``ROW_FREEZE`` sentinel —
+    genuine y entries are weighted means of log-simplex values, always
+    <= ~1e-15, so a positive value cannot occur naturally).
     """
     if solver in ("pallas", "mm_pallas"):
         from functools import partial as _partial
 
-        from .pallas_dirichlet import pallas_dirichlet_solve, pallas_mm_solve
+        from .pallas_dirichlet import (
+            ROW_FREEZE,
+            pallas_dirichlet_solve,
+            pallas_mm_solve,
+        )
 
+        if row_mask is not None:
+            y_cst = jnp.where(row_mask[..., None], y_cst, ROW_FREEZE)
         # Pallas TPU kernels only lower on TPU; tests and the multichip
         # dryrun exercise the identical kernel code in interpret mode
         interpret = jax.default_backend() != "tpu"
@@ -223,12 +266,13 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
             # iteration, so its fallback must be the exact MM loop, not
             # Minka (different iteration, ignores iter_mm)
             if solver == "mm_pallas":
-                return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)
-            return minka_update_alpha(alpha0, y_cst)
+                return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm,
+                                       row_mask=row_mask)
+            return minka_update_alpha(alpha0, y_cst, row_mask=row_mask)
         return fn(alpha0, y_cst)
     if solver == "minka":
-        return minka_update_alpha(alpha0, y_cst)
-    return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm)
+        return minka_update_alpha(alpha0, y_cst, row_mask=row_mask)
+    return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm, row_mask=row_mask)
 
 
 def dirichlet_logits_cache(log_samples, alpha):
@@ -242,7 +286,8 @@ def dirichlet_logits_cache(log_samples, alpha):
     return l12, l3
 
 
-def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples):
+def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples,
+                             row_mask=None):
     """Incremental ``dirichlet_logits_cache`` update at cluster rows ``idx``
     ([..., C]) whose parameters changed to ``alpha_c`` ([..., C, d]) —
     numerically the same values the full recomputation would produce, with
@@ -252,9 +297,18 @@ def update_logits_cache_rows(l12, l3, idx, alpha_c, log_samples):
     TPU scatters serialize per index (put_along_axis on the [N, n, K] cache
     measured 5 ms vs ~0 for the matmul form at the ImageNet protocol), and
     with distinct indices the 0/1 contraction reproduces the scattered
-    values bit-exactly (every non-matching term is an exact 0.0)."""
+    values bit-exactly (every non-matching term is an exact 0.0).
+
+    ``row_mask`` ([..., C] bool, optional): False rows are NOT written —
+    their cached entries stay byte-for-byte as previously stored. The
+    compact EM steps pass the populated mask: a frozen alpha row's cache
+    entries are still valid, and skipping the write avoids replacing them
+    with a recomputation whose contraction width (C vs K) could differ in
+    the last bit — required for the two-tier solve gate to be bit-exact."""
     k = l12.shape[-1]
     onehot = (idx[..., None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    if row_mask is not None:
+        onehot = onehot * row_mask[..., None].astype(jnp.float32)
     keep = 1.0 - jnp.max(onehot, axis=-2)                     # [..., K]
 
     l12_c = (gammaln(jnp.sum(alpha_c, axis=-1))

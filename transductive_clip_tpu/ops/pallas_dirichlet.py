@@ -34,6 +34,25 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# Row-freeze sentinel: a y row whose first lane is >= ROW_FREEZE/2 is kept at
+# its incoming alpha and EXCLUDED from the block's convergence criterion.
+# Genuine y entries are weighted means of log(simplex + eps), always
+# <= ~1e-15 (and the empty-cluster fill is -10), so a positive value cannot
+# occur naturally. Used for (a) row padding — padded rows must not couple
+# into the stop decision — and (b) the compact EM steps' populated-row mask,
+# which makes the two-tier solve width bit-exact (ops/dirichlet.py:
+# update_alpha folds ``row_mask`` into y with this value).
+ROW_FREEZE = 1.0
+
+
+def _row_live(y, valid):
+    """[1, BK, 1] bool: rows NOT carrying the freeze sentinel."""
+    first_lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1) == 0
+    marker = jnp.sum(jnp.where(first_lane & valid, y, 0.0), axis=-1,
+                     keepdims=True)
+    return marker < ROW_FREEZE / 2
+
+
 def _solver_kernel(alpha_ref, y_ref, out_ref, *, n_valid, max_iters, tol,
                    newton_iters):
     alpha0 = alpha_ref[:]                                        # [1, BK, Kp]
@@ -42,18 +61,19 @@ def _solver_kernel(alpha_ref, y_ref, out_ref, *, n_valid, max_iters, tol,
         jnp.int32, alpha0.shape, alpha0.ndim - 1
     )
     valid = lane < n_valid
+    live = _row_live(y, valid)                                   # [1, BK, 1]
 
     def one_iter(alpha):
         s = jnp.sum(jnp.where(valid, alpha, 0.0), axis=-1, keepdims=True)
         z = digamma_pos(s) + y
         new = inv_digamma(z, newton_iters=newton_iters)
-        return jnp.where(valid, new, 0.0)
+        return jnp.where(live & valid, new, jnp.where(valid, alpha, 0.0))
 
     def body(carry):
         alpha, it, _ = carry
-        new = one_iter(alpha)
+        new = one_iter(alpha)                  # frozen rows: new == alpha
         num = jnp.sum((new - alpha) * (new - alpha))
-        den = jnp.maximum(jnp.sum(alpha * alpha), 1e-30)
+        den = jnp.maximum(jnp.sum(jnp.where(live, alpha, 0.0) ** 2), 1e-30)
         return new, it + 1, num / den
 
     def cond(carry):
@@ -77,16 +97,18 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
     (reference: em_dirichlet.py:157-177), but alpha never leaves VMEM
     between iterations. Stopping differs in granularity: the XLA path tests
     one global ||delta||^2/||alpha||^2 over the whole [N, R, K] tensor,
-    while each block here tests its own ratio (padded lanes masked out), so
-    per-block iteration counts can differ from the global rule's by a few —
-    all stopping happens below the same tol (solutions agree to solver
-    tolerance; equivalence-tested). ``dirichlet_solver: 'mm'`` remains the
-    bit-for-bit reference iteration path.
+    while each block here tests its own ratio (padded lanes and frozen
+    sentinel rows masked out), so per-block iteration counts can differ from
+    the global rule's by a few — all stopping happens below the same tol
+    (solutions agree to solver tolerance; equivalence-tested).
+    ``dirichlet_solver: 'mm'`` remains the bit-for-bit reference iteration
+    path.
     """
     alpha0 = alpha_ref[:]                                        # [1, BK, Kp]
     y = y_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, alpha0.shape, alpha0.ndim - 1)
     valid = lane < n_valid
+    live = _row_live(y, valid)                                   # [1, BK, 1]
 
     def mm_iter(alpha):
         digam = digamma_pos(alpha + 1.0)
@@ -99,7 +121,7 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
         s = jnp.sum(jnp.where(valid, alpha, 0.0), axis=-1, keepdims=True)
         b = digam - digamma_pos(s) - curv * alpha - y
         new = (-b + jnp.sqrt(b * b + 4.0 * curv)) / (2.0 * curv)
-        return jnp.where(valid, new, 0.0)
+        return jnp.where(live & valid, new, jnp.where(valid, alpha, 0.0))
 
     first = min(check_every, iter_mm)
 
@@ -110,7 +132,8 @@ def _mm_kernel(alpha_ref, y_ref, out_ref, *, n_valid, iter_mm, tol,
         new = mm_iter(alpha)
         d = jnp.where(valid, new - alpha, 0.0)
         num = jnp.sum(d * d)
-        den = jnp.maximum(jnp.sum(jnp.where(valid, alpha, 0.0) ** 2), 1e-30)
+        den = jnp.maximum(jnp.sum(jnp.where(live & valid, alpha, 0.0) ** 2),
+                          1e-30)
         crit = num / den
         # clamp to the remaining budget so exactly iter_mm updates run when
         # the convergence test never fires (reference: range(iter_mm))
@@ -159,7 +182,7 @@ def pallas_mm_solve(alpha0, y_cst, iter_mm: int = 1000, tol: float = 1e-11,
     alpha_p = jnp.pad(alpha0, ((0, 0), (0, rp - n_rows), (0, kp - k)),
                       constant_values=1.0)
     y_p = jnp.pad(y_cst, ((0, 0), (0, rp - n_rows), (0, kp - k)),
-                  constant_values=-10.0)
+                  constant_values=ROW_FREEZE)
     kernel = partial(
         _mm_kernel, n_valid=k, iter_mm=iter_mm, tol=tol,
         check_every=check_every,
@@ -197,12 +220,12 @@ def pallas_dirichlet_solve(alpha0, y_cst, max_iters: int = 60,
     bk = min(block_rows, _round_up(n_rows, 8))
     rp = _round_up(n_rows, bk)
 
-    # pad: feature axis masked inside the kernel; padded rows get y = -10
-    # (a benign, fast-converging right-hand side)
+    # pad: feature axis masked inside the kernel; padded rows carry the
+    # freeze sentinel (kept at alpha=1, excluded from the stop criterion)
     alpha_p = jnp.pad(alpha0, ((0, 0), (0, rp - n_rows), (0, kp - k)),
                       constant_values=1.0)
     y_p = jnp.pad(y_cst, ((0, 0), (0, rp - n_rows), (0, kp - k)),
-                  constant_values=-10.0)
+                  constant_values=ROW_FREEZE)
 
     kernel = partial(
         _solver_kernel, n_valid=k, max_iters=max_iters, tol=tol,

@@ -39,6 +39,17 @@ def _cpu_fingerprint() -> str:
                     bits.append(line.strip())
     except OSError:
         pass
+    # boot id: this workspace's VM migrates between microarchitectures, and
+    # a migration-with-reboot can land on a host whose *virtualized* cpuinfo
+    # matches an earlier fingerprint while LLVM's cpuid-based detection
+    # differs (observed as cpu_aot_loader feature-mismatch rejections). A
+    # live migration under a running kernel can still slip through — XLA
+    # rejects those artifacts gracefully at load.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            bits.append(f.read().strip())
+    except OSError:
+        pass
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:10]
 
 
