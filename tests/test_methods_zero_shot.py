@@ -152,3 +152,54 @@ def test_timing_logs_exact_under_early_stop(simplex_tasks):
         logs["timestamps"] * (n_exec + 1) / (2 * n_exec), rtol=1e-6,
     )
     assert logs["timestamps_cumulative"].shape == (n_exec,)
+
+
+def test_accuracy_extras_ride_the_combined_fetch(simplex_tasks):
+    """clustering_accuracy/direct_accuracy fetch caller extras in the same
+    host round trip as the accuracy outputs, values passed through exactly
+    (the run_task fusion that removes per-batch RTTs on tunneled links)."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.base import (
+        clustering_accuracy,
+        direct_accuracy,
+    )
+
+    x, y = simplex_tasks
+    u = jnp.asarray(x)
+    cfg = make_cfg(graph_matching=True)
+    ref_acc, ref_preds = clustering_accuracy(u, jnp.asarray(x), y, cfg)
+    acc, preds, extras = clustering_accuracy(
+        u, jnp.asarray(x), y, cfg, extras=(jnp.arange(3), None),
+    )
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref_acc))
+    np.testing.assert_array_equal(preds, ref_preds)
+    np.testing.assert_array_equal(np.asarray(extras[0]), [0, 1, 2])
+    assert extras[1] is None
+
+    ref_acc, ref_preds = direct_accuracy(u, y)
+    acc, preds, extras = direct_accuracy(u, y, extras=(jnp.float32(2.5),))
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref_acc))
+    np.testing.assert_array_equal(preds, ref_preds)
+    assert float(extras[0]) == 2.5
+
+
+def test_deferred_compaction_warning_reaches_run_task(simplex_tasks,
+                                                      monkeypatch):
+    """The compaction sparsity check is deferred to run_task's combined
+    fetch; forcing the compact width below the populated-cluster count must
+    still surface the warning."""
+    import transductive_clip_tpu.methods.zero_shot.em_dirichlet as em
+
+    x, y = simplex_tasks
+    monkeypatch.setattr(em, "compaction_geometry", lambda n, k: (2, True))
+    em.em_dirichlet_infer.clear_cache()
+    cfg = make_cfg(graph_matching=False, compact_clusters=True,
+                   dirichlet_solver="minka", early_stop=False, iter=4,
+                   compact_first_iter="False")
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    try:
+        with pytest.warns(UserWarning, match="clusters carry mass"):
+            method.run_task({"x_q": x, "y_q": y})
+    finally:
+        em.em_dirichlet_infer.clear_cache()

@@ -126,7 +126,7 @@ def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int):
     return preds, idx, probs, present
 
 
-def clustering_accuracy(u, query, y_q, cfg, text_features=None):
+def clustering_accuracy(u, query, y_q, cfg, text_features=None, extras=()):
     """Zero-shot clustering accuracy with cluster->class matching.
 
     Mirrors compute_acc_clustering (reference: em_dirichlet.py:61-92):
@@ -137,10 +137,17 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
     Prototypes/probabilities are computed on device over the present-cluster
     rows only (exact; ``proto_device: False`` switches to the all-host
     reference-shaped path, equivalence-tested in tests/test_ops.py).
+
+    ``extras``: optional tuple of device values to fetch in the SAME host
+    round trip as the accuracy outputs (each separate ``device_get`` on the
+    tunneled link costs a full RTT; ``run_task`` folds its criterion trace,
+    executed-iteration count, and deferred compaction scalar in here).
+    When non-empty the return is (acc, preds, extras_host).
     """
     y_q = np.asarray(y_q)
     if not bool(cfg.get("proto_device", True)):
-        return _clustering_accuracy_host(u, query, y_q, cfg, text_features)
+        out = _clustering_accuracy_host(u, query, y_q, cfg, text_features)
+        return out + (jax.device_get(extras),) if extras else out
 
     from ..ops.matching import hungarian_matching_rows
 
@@ -158,20 +165,24 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
         preds_d, idx_d, probs_d, _ = _proto_rows_device(
             u, query, jnp.float32(cfg.T), tf, use_softmax, R
         )
-        preds = np.asarray(preds_d)
-        new_preds = hungarian_matching_rows(
-            preds, np.asarray(idx_d), np.asarray(probs_d), n_class
+        preds, idx_h, probs_h, extras_h = jax.device_get(
+            (preds_d, idx_d, probs_d, extras)
         )
+        new_preds = hungarian_matching_rows(preds, idx_h, probs_h, n_class)
         acc = (new_preds == y_q).mean(axis=1, keepdims=True)
-        return acc.astype(np.float32), new_preds
+        acc = acc.astype(np.float32)
+        return (acc, new_preds, extras_h) if extras else (acc, new_preds)
 
     acc_d, new_preds_d, ok, preds_d, idx_d, probs_d = _accuracy_device(
         u, query, jnp.asarray(y_q, jnp.int32), jnp.float32(cfg.T), tf,
         use_softmax, R, graph_matching,
     )
     # one combined transfer for everything small — each host round trip on
-    # a tunneled link costs whole milliseconds, so acc/preds/ok ship together
-    acc, new_preds, ok = jax.device_get((acc_d, new_preds_d, ok))
+    # a tunneled link costs whole milliseconds, so acc/preds/ok (and the
+    # caller's extras) ship together
+    acc, new_preds, ok, extras_h = jax.device_get(
+        (acc_d, new_preds_d, ok, extras)
+    )
     if graph_matching and not bool(ok):
         # auction hit its iteration budget with unassigned rows
         # (pathological tie structure); fall back to the exact host solver
@@ -180,9 +191,9 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None):
             np.asarray(preds_d), np.asarray(idx_d), np.asarray(probs_d),
             n_class,
         )
-        acc = (new_preds == y_q).mean(axis=1, keepdims=True)
-        return acc.astype(np.float32), new_preds
-    return acc, new_preds
+        acc = ((new_preds == y_q).mean(axis=1, keepdims=True)
+               .astype(np.float32))
+    return (acc, new_preds, extras_h) if extras else (acc, new_preds)
 
 
 def _clustering_accuracy_host(u, query, y_q, cfg, text_features=None):
@@ -223,17 +234,7 @@ def _max_populated_clusters(u, eps):
     return jnp.max(jnp.sum(jnp.sum(u, axis=1) > eps, axis=-1))
 
 
-def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
-    """Post-hoc guard for cluster compaction: if more clusters carry mass in
-    the final assignments than the compacted solver re-solves, the
-    approximation may have engaged; advise the exact path. The count reduces
-    on device — only a scalar crosses to the host (u is ~30 MB at ImageNet
-    scale and the transfer link may be slow)."""
-    if hasattr(u, "devices"):
-        populated = int(_max_populated_clusters(u, eps))
-    else:
-        u_sum = np.asarray(u).sum(axis=1)
-        populated = int((u_sum > eps).sum(axis=-1).max())
+def _warn_compaction(populated, n_compact, logger=None):
     if populated > n_compact:
         msg = (
             f"cluster compaction solved {n_compact} rows but {populated} "
@@ -246,7 +247,47 @@ def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
             import warnings
 
             warnings.warn(msg)
+
+
+def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
+    """Post-hoc guard for cluster compaction: if more clusters carry mass in
+    the final assignments than the compacted solver re-solves, the
+    approximation may have engaged; advise the exact path. The count reduces
+    on device — only a scalar crosses to the host (u is ~30 MB at ImageNet
+    scale and the transfer link may be slow)."""
+    if hasattr(u, "devices"):
+        populated = int(_max_populated_clusters(u, eps))
+    else:
+        u_sum = np.asarray(u).sum(axis=1)
+        populated = int((u_sum > eps).sum(axis=-1).max())
+    _warn_compaction(populated, n_compact, logger)
     return populated
+
+
+class PendingCompactionCheck:
+    """The compaction sparsity check with its host fetch deferred.
+
+    ``check_compaction_validity`` blocks on a scalar round trip between the
+    method program and the accuracy program — a full link RTT per batch on
+    the tunneled chip. Method wrappers instead dispatch the device reduction
+    here (async) and stash the object on ``self._pending_check``;
+    ``run_task`` ships the scalar with its one combined accuracy fetch and
+    calls ``finish``."""
+
+    def __init__(self, u, n_compact, logger=None, eps=EPS):
+        self.n_compact = n_compact
+        self.logger = logger
+        if hasattr(u, "devices"):
+            self.populated = _max_populated_clusters(u, eps)   # device scalar
+        else:
+            u_sum = np.asarray(u).sum(axis=1)
+            self.populated = int((u_sum > eps).sum(axis=-1).max())
+
+    def finish(self, populated_host=None):
+        populated = int(self.populated if populated_host is None
+                        else populated_host)
+        _warn_compaction(populated, self.n_compact, self.logger)
+        return populated
 
 
 def device_matching(preds, one_hot, probs):
@@ -274,17 +315,20 @@ def device_matching(preds, one_hot, probs):
     return np.take_along_axis(lut, preds, axis=1)
 
 
-def direct_accuracy(u, y_q):
+def direct_accuracy(u, y_q, extras=()):
     """Plain argmax accuracy (few-shot path; reference: few_shot/em_dirichlet.py:50-58).
 
     The argmax reduces on device when u lives there — only [N, n] int
-    predictions cross to the host instead of the [N, n, K] assignments."""
+    predictions cross to the host instead of the [N, n, K] assignments.
+    ``extras`` ride the same round trip (see ``clustering_accuracy``);
+    when non-empty the return is (acc, preds, extras_host)."""
     if hasattr(u, "devices"):
-        preds = np.asarray(jnp.argmax(u, axis=2))
+        preds, extras_h = jax.device_get((jnp.argmax(u, axis=2), extras))
     else:
-        preds = np.asarray(u).argmax(axis=2)
+        preds, extras_h = np.asarray(u).argmax(axis=2), jax.device_get(extras)
     acc = (preds == np.asarray(y_q)).mean(axis=1, keepdims=True)
-    return acc.astype(np.float32), preds
+    acc = acc.astype(np.float32)
+    return (acc, preds, extras_h) if extras else (acc, preds)
 
 
 def split_infer_out(out):
@@ -345,6 +389,9 @@ class TransductiveMethod:
         #: guard) a method performed inside _infer that must not count
         #: toward the reported method timing
         self._untimed_overhead_s = 0.0
+        #: a PendingCompactionCheck dispatched inside _infer; run_task
+        #: fetches its scalar with the combined accuracy transfer
+        self._pending_check = None
 
     def set_mesh(self, mesh):
         """Attach a (dp, tp) device mesh. Mesh-aware methods annotate their
@@ -384,6 +431,12 @@ class TransductiveMethod:
             for k in sliced_keys:
                 sub[k] = task[k][s:s + chunk]
             u, crit, n_exec = split_infer_out(self._infer(sub))
+            if self._pending_check is not None:
+                # chunks would overwrite each other's deferred check; settle
+                # each one here (chunked methods are compute-bound — the
+                # extra scalar round trip per chunk is noise)
+                self._pending_check.finish()
+                self._pending_check = None
             us.append(u)
             crits.append(np.asarray(crit))
             n_execs.append(n_exec)
@@ -416,21 +469,30 @@ class TransductiveMethod:
 
         t0 = time.perf_counter()
         self._untimed_overhead_s = 0.0
+        self._pending_check = None
         u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
         u = device_sync(u)
         elapsed = time.perf_counter() - t0 - self._untimed_overhead_s
         n_task = query.shape[0]
 
+        # everything small rides ONE host round trip with the accuracy
+        # outputs: the criterion trace, the executed-iteration count, and
+        # the deferred compaction-check scalar (tunneled links pay whole
+        # milliseconds per round trip)
+        pend = self._pending_check
+        extras = (criterions, n_exec) + (
+            (pend.populated,) if pend is not None else ()
+        )
         if self.acc_mode == "clustering":
-            acc, preds = clustering_accuracy(
-                u, query, y_q, self.args, text_features=text_features
+            acc, preds, extras = clustering_accuracy(
+                u, query, y_q, self.args, text_features=text_features,
+                extras=extras,
             )
         else:
-            acc, preds = direct_accuracy(u, y_q)
-
-        # one transfer for the remaining small outputs (tunneled links pay
-        # whole milliseconds per round trip)
-        criterions, n_exec = jax.device_get((criterions, n_exec))
+            acc, preds, extras = direct_accuracy(u, y_q, extras=extras)
+        criterions, n_exec = extras[0], extras[1]
+        if pend is not None:
+            pend.finish(extras[2])
         criterions = np.asarray(criterions)
         n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
@@ -469,13 +531,22 @@ class FewShotMethod(TransductiveMethod):
         }
 
         t0 = time.perf_counter()
+        self._pending_check = None
         u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
         u = device_sync(u)
         elapsed = time.perf_counter() - t0
         n_task = query.shape[0]
 
-        acc, preds = direct_accuracy(u, y_q)
-        criterions, n_exec = jax.device_get((criterions, n_exec))
+        # one combined fetch: argmax preds + criterions + executed count +
+        # the deferred compaction scalar (see TransductiveMethod.run_task)
+        pend = self._pending_check
+        extras = (criterions, n_exec) + (
+            (pend.populated,) if pend is not None else ()
+        )
+        acc, preds, extras = direct_accuracy(u, y_q, extras=extras)
+        criterions, n_exec = extras[0], extras[1]
+        if pend is not None:
+            pend.finish(extras[2])
         criterions = np.asarray(criterions)
         n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {

@@ -236,11 +236,12 @@ class EM_DIRICHLET(FewShotMethod):
 
     def _check_compaction(self, u, n_query, n_class):
         if self.compact and n_class > 2 * (n_query + _COMPACT_MARGIN):
-            from ..base import check_compaction_validity
+            from ..base import PendingCompactionCheck
 
-            check_compaction_validity(
-                u, n_query + _COMPACT_MARGIN,
-                logger=self.logger,
+            # deferred: run_task fetches the scalar with its one combined
+            # accuracy transfer instead of paying a round trip here
+            self._pending_check = PendingCompactionCheck(
+                u, n_query + _COMPACT_MARGIN, logger=self.logger
             )
 
     def _infer(self, task):

@@ -353,9 +353,13 @@ class EM_DIRICHLET(TransductiveMethod):
     def _check_compaction(self, u, n_query, n_class):
         n_compact, engaged = compaction_geometry(n_query, n_class)
         if self.compact and engaged:
-            from ..base import check_compaction_validity
+            from ..base import PendingCompactionCheck
 
-            check_compaction_validity(u, n_compact, logger=self.logger)
+            # deferred: run_task fetches the scalar with its one combined
+            # accuracy transfer instead of paying a round trip here
+            self._pending_check = PendingCompactionCheck(
+                u, n_compact, logger=self.logger
+            )
 
     def _run_infer(self, x_q, compact_first: bool):
         return em_dirichlet_infer(

@@ -219,6 +219,13 @@ def _shard_map_rows(fn, alpha0, y_cst, mesh):
     return out[:, :n_rows]
 
 
+# 'pallas' solves wider than this route to the XLA Minka path (same fixed
+# point): VMEM residency + per-block early exit pay off at compact widths,
+# while full-width [N, K, K] solves stream through HBM regardless and
+# measure faster under XLA (see update_alpha)
+_PALLAS_SOLVER_MAX_ROWS = 256
+
+
 def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
                  mesh=None, row_mask=None):
     """Dispatch between the reference-exact MM solver (XLA or VMEM-resident
@@ -238,6 +245,18 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
     genuine y entries are weighted means of log-simplex values, always
     <= ~1e-15, so a positive value cannot occur naturally).
     """
+    if solver == "pallas" and alpha0.shape[-2] > _PALLAS_SOLVER_MAX_ROWS:
+        # Full-width solves route to the XLA Minka path — the same fixed
+        # point the Pallas kernel iterates. At [N, ~1000, 1000] the blocks
+        # stream through HBM either way, the per-block early exit has
+        # nothing to cut, and XLA measures FASTER (6.4 vs 7.9 ms/task on
+        # the few-shot first full-width solve, tunneled v5e). It also
+        # sidesteps a worker-process crash observed when the full-width
+        # kernel is embedded in the EM program at some task counts
+        # (N=20 reproducibly crashed the tunneled worker; N=24/100 and the
+        # standalone kernel at N=20 ran fine — an opaque lowering fault
+        # the compact widths have never exhibited).
+        return minka_update_alpha(alpha0, y_cst, row_mask=row_mask)
     if solver in ("pallas", "mm_pallas"):
         from functools import partial as _partial
 
