@@ -60,7 +60,7 @@ def main():
     # on the first batch of every evaluation (methods/zero_shot/
     # em_dirichlet.py), so steady-state batches run exactly this program.
     u, crit = em_dirichlet_infer(
-        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="pallas",
+        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka",
         compact_first=True,
     )
     device_sync(u)
@@ -72,7 +72,7 @@ def main():
         t0 = time.perf_counter()
         u, crit = em_dirichlet_infer(
             x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False,
-            solver="pallas", compact_first=True,
+            solver="minka", compact_first=True,
         )
         device_sync(u)
         elapsed = min(elapsed, time.perf_counter() - t0)

@@ -82,7 +82,8 @@ def main():
     from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
 
     backend = jax.default_backend()
-    fast_solver = "pallas" if backend == "tpu" else "minka"
+    # the production default on every backend (Newton-on-row-sum XLA solve)
+    fast_solver = "minka"
     n_task, n_query, n_class = args.tasks, args.n_query, args.n_class
 
     rng = np.random.default_rng(0)

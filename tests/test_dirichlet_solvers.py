@@ -122,3 +122,65 @@ def test_update_logits_cache_rows_matches_full_recompute(rng):
     l12_full, l3_full = dirichlet_logits_cache(log_x, alpha_full)
     np.testing.assert_array_equal(np.asarray(l12_inc), np.asarray(l12_full))
     np.testing.assert_array_equal(np.asarray(l3_inc), np.asarray(l3_full))
+
+
+def test_minka_newton_matches_mm_fixed_point(rng):
+    """The Newton-on-row-sum solver reaches the same stationary point as
+    the reference-exact MM loop and the plain Minka fixed point."""
+    from transductive_clip_tpu.ops.dirichlet import minka_newton_update_alpha
+
+    K = 12
+    x = rng.dirichlet(np.ones(K) * 0.3, size=500)
+    y = np.log(x + 1e-15).mean(0)
+    Y = jnp.asarray(np.tile(y, (2, K, 1)), jnp.float32)
+    a0 = jnp.ones((2, K, K), jnp.float32)
+    a_mm = np.asarray(mm_update_alpha(a0, Y))
+    a_nw = np.asarray(minka_newton_update_alpha(a0, Y))
+    resid = sp_digamma(a_nw[0, 0]) - sp_digamma(a_nw[0, 0].sum()) - y
+    assert np.abs(resid).max() < 5e-3
+    assert np.abs(a_mm - a_nw).max() / np.abs(a_mm).max() < 1e-3
+
+
+def test_minka_newton_beats_fixed_point_on_hard_rows(rng):
+    """On rows where the plain fixed point exhausts its iteration budget
+    before converging (slow linear rate), Newton must still satisfy the
+    stationarity equation at least as tightly."""
+    from transductive_clip_tpu.ops.dirichlet import minka_newton_update_alpha
+
+    K = 64
+    # few-shot-like rows: a handful of sharp log-mean stats per row
+    x = rng.dirichlet(np.ones(K) * 0.05 + 10.0 * np.eye(K)[0], size=4)
+    y = np.log(x + 1e-15).mean(0)
+    Y = jnp.asarray(np.tile(y, (1, 8, 1)), jnp.float32)
+    a0 = jnp.ones((1, 8, K), jnp.float32)
+    a_fp = np.asarray(minka_update_alpha(a0, Y))
+    a_nw = np.asarray(minka_newton_update_alpha(a0, Y))
+
+    def max_resid(a):
+        return np.abs(
+            sp_digamma(a[0, 0]) - sp_digamma(a[0, 0].sum()) - y
+        ).max()
+
+    assert max_resid(a_nw) <= max_resid(a_fp) * 1.5 + 1e-4
+    assert max_resid(a_nw) < 5e-3
+
+
+def test_minka_newton_row_mask_freezes_exactly(rng):
+    """row_mask=False rows come back bit-identical to alpha0, and live rows
+    are unaffected by the frozen rows' presence."""
+    from transductive_clip_tpu.ops.dirichlet import minka_newton_update_alpha
+
+    K = 16
+    R = 6
+    y = -np.abs(rng.standard_normal((2, R, K))).astype(np.float32) - 0.5
+    a0 = jnp.asarray(1.0 + rng.random((2, R, K)).astype(np.float32))
+    mask = jnp.asarray(np.array([[True, True, False, True, False, True]] * 2))
+    out = np.asarray(minka_newton_update_alpha(a0, jnp.asarray(y),
+                                               row_mask=mask))
+    np.testing.assert_array_equal(out[:, 2], np.asarray(a0)[:, 2])
+    np.testing.assert_array_equal(out[:, 4], np.asarray(a0)[:, 4])
+    # live rows: identical to solving them without any frozen rows present
+    live_idx = np.array([0, 1, 3, 5])
+    out_live = np.asarray(minka_newton_update_alpha(
+        a0[:, live_idx], jnp.asarray(y[:, live_idx])))
+    np.testing.assert_array_equal(out[:, live_idx], out_live)

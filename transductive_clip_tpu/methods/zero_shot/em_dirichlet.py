@@ -323,14 +323,16 @@ class EM_DIRICHLET(TransductiveMethod):
         self.lambd = float(int(args.num_classes_test / 5) * args.n_query)
         self.n_iter = int(args.iter)
         self.iter_mm = int(args.iter_mm)
-        # 'minka' (fast inverse-digamma fixed point, default) or 'mm'
-        # (reference-exact surrogate loop); same stationary equation
+        # 'minka' (Newton-on-row-sum, default) / 'minka_fp' (plain fixed
+        # point) / 'pallas' (VMEM-resident kernel) / 'mm' (reference-exact
+        # surrogate loop); all solve the same stationary equation
         solver = str(args.get("dirichlet_solver", "auto"))
         if solver == "auto":
-            # fused Pallas kernel on TPU; XLA Minka elsewhere
-            import jax
-
-            solver = "pallas" if jax.default_backend() == "tpu" else "minka"
+            # the XLA Newton-Minka solve wins on every backend measured:
+            # quadratic convergence where the fixed-point kernels are
+            # linear (headline 1346 -> 2124 tasks/s vs the Pallas kernel
+            # on the tunneled v5e; ops/dirichlet.py)
+            solver = "minka"
         self.solver = solver
         self.compact = bool(args.get("compact_clusters", True))
         # 'auto' (default): iteration-1 compaction ON, verified against the

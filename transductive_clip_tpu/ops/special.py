@@ -117,3 +117,26 @@ def inv_digamma(y, newton_iters: int = 3):
         x = x - (dg - y) / tg
         x = jnp.maximum(x, 1e-10)
     return x
+
+
+def inv_digamma_and_deriv(y, newton_iters: int = 3):
+    """(x, dx/dy) with psi(x) = y: the inverse digamma and its derivative
+    1/psi'(x).
+
+    The derivative reuses the trigamma evaluated at the last Newton iterate
+    (one step before the returned x) — accurate to the same order as x
+    itself and free, since the Newton update already computed it. Powers
+    the Newton-on-row-sum Dirichlet solver (ops/dirichlet.py:
+    minka_newton_update_alpha), which needs d alpha_d / d s.
+    """
+    x = jnp.where(
+        y >= -2.22,
+        jnp.exp(y) + 0.5,
+        -1.0 / (y + EULER_GAMMA),
+    )
+    tg = None
+    for _ in range(max(newton_iters, 1)):
+        dg, tg = digamma_and_trigamma_pos(x)
+        x = x - (dg - y) / tg
+        x = jnp.maximum(x, 1e-10)
+    return x, 1.0 / tg
