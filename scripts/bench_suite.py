@@ -91,7 +91,16 @@ def main():
     x = jnp.asarray(x_np)
     lambd = jnp.float32(int(n_class / 5) * n_query)
 
-    rows = []
+    class _StreamedRows(list):
+        """Emit each row's JSON line the moment it is measured — a full run
+        is tens of minutes on the tunneled chip and a silent log is
+        indistinguishable from a wedged device grant."""
+
+        def append(self, r):
+            print(json.dumps(r), flush=True)
+            super().append(r)
+
+    rows = _StreamedRows()
 
     def bench_method(name, ref, **kw):
         elapsed, (u, crit) = timed(em_dirichlet_infer, x, lambd, **kw)
@@ -345,8 +354,6 @@ def main():
                                  "unspecified GPU",
             })
 
-    for r in rows:
-        print(json.dumps(r))
     print()
     print(f"backend={backend}  n_task={n_task} n_query={n_query} "
           f"n_class={n_class}")
