@@ -199,14 +199,40 @@ def main():
             logs = method.run_task(task)
             elapsed = min(elapsed, time.perf_counter() - t0)
         rows.append({
-        "metric": "end_to_end_zero_shot",
-        "value": round(n_task / elapsed, 3),
-        "unit": "tasks/sec",
-        "seconds_per_task": round(elapsed / n_task, 5),
-        "vs_baseline": round(REF_SOFT * n_task / elapsed, 2),
-        "acc": round(float(np.mean(logs["acc"][:, -1])), 4),
-        "baseline_note": "reference excludes matching from its timing",
-    })
+            "metric": "end_to_end_zero_shot",
+            "value": round(n_task / elapsed, 3),
+            "unit": "tasks/sec",
+            "seconds_per_task": round(elapsed / n_task, 5),
+            "vs_baseline": round(REF_SOFT * n_task / elapsed, 2),
+            "acc": round(float(np.mean(logs["acc"][:, -1])), 4),
+            "baseline_note": "reference excludes matching from its timing",
+        })
+
+        # deferred-fetch pipeline: dispatch B batches back to back, ONE
+        # combined device_get at the end (the evaluators' defer_fetch mode;
+        # eval/zero_shot.py) — amortizes the per-batch link round trips
+        cfg_defer = CfgNode(dict(cfg, matching_backend="device"))
+        method_d = get_zero_shot_method("EM_DIRICHLET", args=cfg_defer)
+        import jax as _jax
+
+        n_rep = 5
+        res0 = method_d.run_task_deferred(task)    # compile/warmup
+        _jax.device_get(res0.handles)
+        t0 = time.perf_counter()
+        pending = [method_d.run_task_deferred(task) for _ in range(n_rep)]
+        host = _jax.device_get([r.handles for r in pending])
+        elapsed_d = (time.perf_counter() - t0) / n_rep
+        logs_d = pending[0].finalize(host[0], elapsed_d / n_task)
+        rows.append({
+            "metric": "end_to_end_zero_shot_deferred",
+            "value": round(n_task / elapsed_d, 3),
+            "unit": "tasks/sec",
+            "seconds_per_task": round(elapsed_d / n_task, 5),
+            "vs_baseline": round(REF_SOFT * n_task / elapsed_d, 2),
+            "acc": round(float(np.mean(logs_d["acc"][:, -1])), 4),
+            "baseline_note": "defer_fetch pipeline, fetch amortized over "
+                             f"{n_rep} batches",
+        })
 
     # ---- CLIP extraction throughput + MFU (--extraction) -----------------
     if args.extraction:

@@ -137,6 +137,57 @@ def test_zero_shot_visual_features_end_to_end(cfg_base, rng):
     assert acc > 0.9
 
 
+def test_defer_fetch_matches_blocking(cfg_base, rng):
+    """The deferred-fetch pipeline (async dispatch, one end-of-eval
+    device_get) must reproduce the blocking per-batch path exactly: same
+    seed -> same tasks -> identical mean accuracy."""
+    feats_q, labels_q = synth_features(rng)
+    feats_s, labels_s = synth_features(rng)
+
+    def zs(defer):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                       number_tasks=6, batch_size=2, n_query=30, seed=3,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = defer
+        cfg.matching_backend = "device"   # fully-on-device accuracy path
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_defer, t_defer = zs(True)
+    acc_block, _ = zs(False)
+    assert abs(acc_defer - acc_block) < 1e-7
+    assert t_defer > 0
+
+    def fs(defer):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=2,
+                       number_tasks=6, batch_size=2, n_query=30, seed=3,
+                       iter=6, iter_mm=100, tunable=False)
+        cfg.defer_fetch = defer
+        return EvaluatorFewShot(args=cfg).evaluate_tasks(
+            feats_s, labels_s, feats_q, labels_q)
+
+    acc_defer, _ = fs(True)
+    acc_block, _ = fs(False)
+    assert abs(acc_defer - acc_block) < 1e-7
+
+
+def test_defer_fetch_host_matching_falls_back(cfg_base, rng):
+    """defer_fetch with a host-side matching backend cannot defer; the
+    evaluator must fall back to the blocking path and still be exact."""
+    feats_q, labels_q = synth_features(rng)
+
+    def zs(defer, backend):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                       number_tasks=4, batch_size=2, n_query=30, seed=5,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = defer
+        cfg.matching_backend = backend
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_defer, _ = zs(True, "host")
+    acc_block, _ = zs(False, "host")
+    assert abs(acc_defer - acc_block) < 1e-7
+
+
 def test_device_gather_matches_host_path(cfg_base, rng):
     """Device-resident gather + constant-flip remap must reproduce the host
     generator path exactly (same seed -> same tasks -> same accuracy)."""

@@ -242,6 +242,10 @@ class EvaluatorFewShot:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(1)
+        from .zero_shot import finalize_deferred, resolve_defer_fetch
+
+        defer = resolve_defer_fetch(args, self.logger)
+        deferred, t_tail0 = [], None
         try:
             with trace_if_requested(args.get("profile_dir")):
                 pending = pool.submit(make_batch) if prefetch else None
@@ -250,15 +254,39 @@ class EvaluatorFewShot:
                         tasks = pending.result() if prefetch else make_batch()
                     if prefetch and b + 1 < n_batches:
                         pending = pool.submit(make_batch)
+                    # batch 0 runs blocking (compiles the programs); later
+                    # batches dispatch async, fetched together at the end
+                    if defer and b > 0:
+                        with timer.phase("dispatch"):
+                            res = method.run_task_deferred(
+                                tasks, shot=args.shots
+                            )
+                        if res is not None:
+                            deferred.append(res)
+                            continue
+                        defer = False
+                        self._log(
+                            "defer_fetch: configuration needs a host step "
+                            "per batch; falling back to blocking run_task"
+                        )
                     with timer.phase("method"):
                         logs = method.run_task(tasks, shot=args.shots)
                     acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
                     results_task.append(acc_mean)
                     results_time.append(logs["timestamps"])
+                    if defer and b == 0:
+                        import time as _time
+
+                        t_tail0 = _time.perf_counter()
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)
 
+        if deferred:
+            finalize_deferred(
+                deferred, t_tail0, int(args.batch_size),
+                results_task, results_time, timer,
+            )
         self._log("phase timing -- " + timer.summary())
         # the first batch's time includes jit compilation; exclude it from
         # the reported mean when there are later (steady-state) batches

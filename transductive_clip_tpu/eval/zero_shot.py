@@ -70,6 +70,47 @@ def _maybe_task_mesh(args, logger=None):
     return make_mesh(tp=tp)
 
 
+def resolve_defer_fetch(args, logger=None):
+    """``defer_fetch: auto`` (default) enables the deferred-fetch pipeline on
+    TPU, where each blocking sync costs a full tunnel round trip; ``True`` /
+    ``False`` force it. With deferral on, every batch after the first is
+    dispatched asynchronously and ALL host fetches ride one combined
+    ``device_get`` at the end of the evaluation — accuracies are
+    bit-identical, and the reported per-task time becomes the steady-state
+    END-TO-END wall clock (sampling + method + accuracy + fetch, amortized)
+    rather than the method-only time, i.e. a conservative superset."""
+    val = args.get("defer_fetch", "auto")
+    if isinstance(val, str) and val.lower() == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    on = bool(val) if not isinstance(val, str) else val.lower() == "true"
+    return on
+
+
+def finalize_deferred(deferred, t_tail0, batch_size, results_task,
+                      results_time, timer=None):
+    """Fetch every deferred batch's handles in ONE transfer and append their
+    logs in batch order. ``t_tail0`` marks the end of the blocking first
+    batch, so the amortized per-task time covers exactly the deferred tail."""
+    import time
+
+    import jax
+
+    from ..core.metrics import compute_confidence_interval
+
+    from contextlib import nullcontext
+
+    with timer.phase("deferred_fetch") if timer is not None else nullcontext():
+        host = jax.device_get([r.handles for r in deferred])
+    per_task = (time.perf_counter() - t_tail0) / (len(deferred) * batch_size)
+    for res, h in zip(deferred, host):
+        logs = res.finalize(h, per_task)
+        acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
+        results_task.append(acc_mean)
+        results_time.append(logs["timestamps"])
+
+
 _GATHER = None
 
 
@@ -166,8 +207,10 @@ class EvaluatorZeroShot:
             force_query_size=True, rng=rng,
         )
         sampler.create_list_classes(labels)
+        defer = resolve_defer_fetch(args, self.logger)
+        deferred, t_tail0 = [], None
         with trace_if_requested(args.get("profile_dir")):
-            for _ in range(n_batches):
+            for b in range(n_batches):
                 with timer.phase("sampling"):
                     if device_gather:
                         idx = np.stack(list(SamplerQueryZeroShot(sampler)))
@@ -191,12 +234,35 @@ class EvaluatorZeroShot:
                     from ..parallel import shard_task_batch
 
                     tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+                # batch 0 always runs blocking: it compiles the programs and
+                # hosts the method's one-time first-batch guards. Later
+                # batches dispatch async and fetch together at the end.
+                if defer and b > 0:
+                    with timer.phase("dispatch"):
+                        res = method.run_task_deferred(tasks)
+                    if res is not None:
+                        deferred.append(res)
+                        continue
+                    defer = False
+                    self._log(
+                        "defer_fetch: configuration needs a host step per "
+                        "batch; falling back to blocking run_task"
+                    )
                 with timer.phase("method"):
                     logs = method.run_task(tasks)
                 acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
                 results_task.append(acc_mean)
                 results_time.append(logs["timestamps"])
+                if defer and b == 0:
+                    import time as _time
 
+                    t_tail0 = _time.perf_counter()
+
+        if deferred:
+            finalize_deferred(
+                deferred, t_tail0, int(args.batch_size),
+                results_task, results_time, timer,
+            )
         self._log("phase timing -- " + timer.summary())
         # the first batch's time includes jit compilation; exclude it from
         # the reported mean when there are later (steady-state) batches

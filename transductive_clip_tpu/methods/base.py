@@ -126,6 +126,18 @@ def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int):
     return preds, idx, probs, present
 
 
+def _accuracy_inputs(u, query, cfg, text_features):
+    """Shared device-input preparation for the clustering-accuracy programs."""
+    n_class = int(cfg.n_class)
+    u = jnp.asarray(u)
+    query = jnp.asarray(query, jnp.float32)
+    use_softmax = bool(cfg.use_softmax_feature)
+    R = min(n_class, u.shape[1], u.shape[2])
+    tf = (jnp.zeros((1, query.shape[2]), jnp.float32) if use_softmax
+          else jnp.asarray(text_features, jnp.float32))
+    return u, query, tf, use_softmax, R, n_class
+
+
 def clustering_accuracy(u, query, y_q, cfg, text_features=None, extras=()):
     """Zero-shot clustering accuracy with cluster->class matching.
 
@@ -151,14 +163,10 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None, extras=()):
 
     from ..ops.matching import hungarian_matching_rows
 
-    n_class = int(cfg.n_class)
-    u = jnp.asarray(u)
-    query = jnp.asarray(query, jnp.float32)
-    use_softmax = bool(cfg.use_softmax_feature)
     graph_matching = bool(cfg.graph_matching)
-    R = min(n_class, u.shape[1], u.shape[2])
-    tf = (jnp.zeros((1, query.shape[2]), jnp.float32) if use_softmax
-          else jnp.asarray(text_features, jnp.float32))
+    u, query, tf, use_softmax, R, n_class = _accuracy_inputs(
+        u, query, cfg, text_features
+    )
 
     if graph_matching and _matching_backend(cfg) != "device":
         # host JV matching: the [N, R, C] prototype rows must come back
@@ -329,6 +337,35 @@ def direct_accuracy(u, y_q, extras=()):
     acc = (preds == np.asarray(y_q)).mean(axis=1, keepdims=True)
     acc = acc.astype(np.float32)
     return (acc, preds, extras_h) if extras else (acc, preds)
+
+
+@jax.jit
+def _direct_accuracy_device(u, y_q):
+    """Argmax accuracy fully on device (few-shot deferred path)."""
+    preds = jnp.argmax(u, axis=2)
+    acc = jnp.mean((preds == y_q).astype(jnp.float32), axis=1, keepdims=True)
+    return acc, preds
+
+
+class DeferredTaskResult:
+    """One batch's ``run_task`` outputs with every host fetch deferred.
+
+    ``handles`` is a pytree of device values (plus host passthroughs like
+    ``None``); the evaluator collects the handles of MANY batches into one
+    ``jax.device_get`` — on the tunneled chip each separate fetch or sync
+    pays a full link round trip, and deferring them all lets XLA's async
+    dispatch overlap batch i's compute with batch i+1's host-side sampling
+    (reference cadence: one blocking method + accuracy sync per batch,
+    eval_zero_shot.py:160-171). ``finalize(host_values, elapsed_per_task)``
+    then builds the same logs dict ``run_task`` returns; accuracy and
+    predictions are bit-identical to the blocking path."""
+
+    def __init__(self, handles, finalize):
+        self.handles = handles
+        self._finalize = finalize
+
+    def finalize(self, host_values, elapsed_per_task):
+        return self._finalize(host_values, elapsed_per_task)
 
 
 def split_infer_out(out):
@@ -502,6 +539,104 @@ class TransductiveMethod:
             **timing_logs(elapsed, n_task, n_used),
         }
 
+    def run_task_deferred(self, task_dic, shot=None):
+        """Dispatch the method + accuracy programs with NO host sync.
+
+        Returns a :class:`DeferredTaskResult`, or ``None`` when this batch
+        needs a host step (host JV matching, host prototype path, task
+        chunking, or a host-resident ``u``) — the caller then falls back to
+        the blocking ``run_task``. Accuracy/predictions are identical to
+        ``run_task``; per-batch method timing is unavailable (the caller
+        supplies an amortized per-task time to ``finalize``). The rare
+        auction-budget fallback still works: the held device prototype rows
+        are only pulled when the fetched ``ok`` flag is False.
+        """
+        cfg = self.args
+        if int(cfg.get("task_chunk", 0) or 0) > 0:
+            return None
+        if self.acc_mode == "clustering" and not bool(
+            cfg.get("proto_device", True)
+        ):
+            return None
+        graph_matching = bool(cfg.graph_matching)
+        if (self.acc_mode == "clustering" and graph_matching
+                and _matching_backend(cfg) != "device"):
+            return None
+
+        query, y_q, text_features = self._prepare_zero_shot(task_dic)
+        task = dict(task_dic)
+        task["x_q"] = query
+        task["text_features"] = text_features
+
+        self._pending_check = None
+        u, criterions, n_exec = split_infer_out(self._infer(task))
+        if not hasattr(u, "devices"):
+            return None
+        pend = self._pending_check
+        self._pending_check = None
+        n_task = query.shape[0]
+
+        if self.acc_mode == "clustering":
+            from ..ops.matching import hungarian_matching_rows
+
+            u_d, query_d, tf, use_softmax, R, n_class = _accuracy_inputs(
+                u, query, cfg, text_features
+            )
+            acc_d, new_preds_d, ok, preds_d, idx_d, probs_d = (
+                _accuracy_device(
+                    u_d, query_d, jnp.asarray(y_q, jnp.int32),
+                    jnp.float32(cfg.T), tf, use_softmax, R, graph_matching,
+                )
+            )
+            handles = (
+                acc_d, new_preds_d, ok, criterions, n_exec,
+                pend.populated if pend is not None else None,
+            )
+
+            def _finalize(host, elapsed_per_task):
+                acc, new_preds, ok_h, crit, n_ex, populated = host
+                if graph_matching and not bool(ok_h):
+                    new_preds = hungarian_matching_rows(
+                        np.asarray(preds_d), np.asarray(idx_d),
+                        np.asarray(probs_d), n_class,
+                    )
+                    acc = ((new_preds == y_q).mean(axis=1, keepdims=True)
+                           .astype(np.float32))
+                return self._deferred_logs(
+                    acc, new_preds, crit, n_ex, populated, pend,
+                    elapsed_per_task, n_task,
+                )
+        else:
+            acc_d, preds_d2 = _direct_accuracy_device(
+                u, jnp.asarray(y_q, jnp.int32)
+            )
+            handles = (
+                acc_d, preds_d2, criterions, n_exec,
+                pend.populated if pend is not None else None,
+            )
+
+            def _finalize(host, elapsed_per_task):
+                acc, preds, crit, n_ex, populated = host
+                return self._deferred_logs(
+                    np.asarray(acc), preds, crit, n_ex, populated, pend,
+                    elapsed_per_task, n_task,
+                )
+
+        return DeferredTaskResult(handles, _finalize)
+
+    def _deferred_logs(self, acc, preds, criterions, n_exec, populated,
+                       pend, elapsed_per_task, n_task):
+        if pend is not None:
+            pend.finish(populated)
+        criterions = np.asarray(criterions)
+        n_used = float(n_exec) if n_exec is not None else len(criterions)
+        return {
+            "acc": np.asarray(acc),
+            "preds": np.asarray(preds),
+            "criterions": criterions,
+            **timing_logs(elapsed_per_task * n_task, n_task, n_used),
+        }
+
 
 class FewShotMethod(TransductiveMethod):
     acc_mode = "direct"
@@ -555,3 +690,45 @@ class FewShotMethod(TransductiveMethod):
             "criterions": criterions,
             **timing_logs(elapsed, n_task, n_used),
         }
+
+    def run_task_deferred(self, task_dic, shot=None):
+        """Few-shot deferred dispatch — see ``TransductiveMethod``'s.
+
+        Always fully on-device (argmax accuracy); returns ``None`` for task
+        chunking or a host-resident ``u``."""
+        cfg = self.args
+        if int(cfg.get("task_chunk", 0) or 0) > 0:
+            return None
+        support, query, y_s, y_q, text_features = self._prepare_few_shot(
+            task_dic
+        )
+        task = {
+            "x_s": support,
+            "x_q": query,
+            "y_s": jnp.asarray(y_s, jnp.int32),
+            "y_q": y_q,
+            "text_features": text_features,
+        }
+        self._pending_check = None
+        u, criterions, n_exec = split_infer_out(self._infer(task))
+        if not hasattr(u, "devices"):
+            return None
+        pend = self._pending_check
+        self._pending_check = None
+        n_task = query.shape[0]
+        acc_d, preds_d = _direct_accuracy_device(
+            u, jnp.asarray(y_q, jnp.int32)
+        )
+        handles = (
+            acc_d, preds_d, criterions, n_exec,
+            pend.populated if pend is not None else None,
+        )
+
+        def _finalize(host, elapsed_per_task):
+            acc, preds, crit, n_ex, populated = host
+            return self._deferred_logs(
+                np.asarray(acc), preds, crit, n_ex, populated, pend,
+                elapsed_per_task, n_task,
+            )
+
+        return DeferredTaskResult(handles, _finalize)
