@@ -2,6 +2,7 @@
 accuracies) as the reference-exact MM solver."""
 
 import numpy as np
+import pytest
 from scipy.special import digamma as sp_digamma
 
 import jax.numpy as jnp
@@ -122,6 +123,16 @@ def test_update_logits_cache_rows_matches_full_recompute(rng):
     l12_full, l3_full = dirichlet_logits_cache(log_x, alpha_full)
     np.testing.assert_array_equal(np.asarray(l12_inc), np.asarray(l12_full))
     np.testing.assert_array_equal(np.asarray(l3_inc), np.asarray(l3_full))
+
+
+def test_unknown_solver_raises(rng):
+    """A solver-name typo must raise, not silently select the MM loop."""
+    from transductive_clip_tpu.ops.dirichlet import update_alpha
+
+    a0 = jnp.ones((1, 2, 3), jnp.float32)
+    y = -jnp.ones((1, 2, 3), jnp.float32)
+    with pytest.raises(ValueError, match="unknown dirichlet_solver"):
+        update_alpha(a0, y, solver="newton")
 
 
 def test_minka_newton_matches_mm_fixed_point(rng):

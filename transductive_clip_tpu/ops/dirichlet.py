@@ -366,6 +366,13 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
         # the plain Minka fixed point (linear convergence), kept for A/B
         # and as the Pallas kernel's XLA twin
         return minka_update_alpha(alpha0, y_cst, row_mask=row_mask)
+    if solver != "mm":
+        # a typo must not silently select the (reference-exact but ~100x
+        # slower) MM loop
+        raise ValueError(
+            f"unknown dirichlet_solver {solver!r}; expected one of "
+            "'minka', 'minka_fp', 'pallas', 'mm', 'mm_pallas'"
+        )
     return mm_update_alpha(alpha0, y_cst, iter_mm=iter_mm, row_mask=row_mask)
 
 
