@@ -118,6 +118,33 @@ def test_evaluator_data_parallel_matches_single_device(tp):
     assert acc_sd > 0.9
 
 
+def test_evaluator_data_parallel_defer_fetch_matches_blocking():
+    """defer_fetch composes with the (dp, tp) mesh: async-dispatched sharded
+    batches fetched in one end-of-eval transfer match the blocking mesh run
+    exactly (same seed -> same tasks -> identical accuracy)."""
+    from transductive_clip_tpu.eval import EvaluatorZeroShot
+
+    rng = np.random.default_rng(0)
+    n_class = 64
+    feats, labels = [], []
+    for c in range(n_class):
+        a = np.ones(n_class)
+        a[c] += 60.0
+        feats.append(rng.dirichlet(a, size=12).astype(np.float32))
+        labels.append(np.full(12, c, np.int64))
+    feats, labels = np.concatenate(feats), np.concatenate(labels)
+
+    cfg_block = _eval_cfg(True, tp=2)
+    cfg_block.defer_fetch = False
+    cfg_defer = _eval_cfg(True, tp=2)
+    cfg_defer.defer_fetch = True
+    acc_block, _ = EvaluatorZeroShot(args=cfg_block).evaluate_tasks(
+        feats, labels)
+    acc_defer, _ = EvaluatorZeroShot(args=cfg_defer).evaluate_tasks(
+        feats, labels)
+    assert abs(acc_block - acc_defer) < 1e-7, (acc_block, acc_defer)
+
+
 def test_batch_dp_image_encoding_matches_single_device():
     """JaxCLIP.encode_image_batch with a dp mesh shards the image batch
     across devices and returns the same embeddings."""
