@@ -197,15 +197,23 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         grad_impl = "autodiff"     # sharded state: let GSPMD place the work
 
     if grad_impl == "pallas":
-        from ...ops.pallas_tim import pallas_tim_support_grad
+        from ...ops.pallas_tim import (
+            pallas_tim_support_grad_prepared,
+            prepare_support,
+        )
 
         contract = (f32_einsum if precision == "highest" else jnp.einsum)
         ce_scale = loss_weights[0] / support.shape[1]
+        n_support, d_feat = support.shape[1], support.shape[2]
+        # layout/cast the loop-invariant support ONCE, outside the scan —
+        # not per Adam step inside grad_fn (~400 MB re-pad+cast per step
+        # at the ImageNet protocol otherwise, if XLA does not hoist it)
+        x_prep, y_prep = prepare_support(support, y_s, precision)
 
         def grad_fn(weights):
-            gs_x, col = pallas_tim_support_grad(
-                support, y_s, weights, temp, ce_scale, alpha_value,
-                ce_kind=entropies[0], precision=precision,
+            gs_x, col = pallas_tim_support_grad_prepared(
+                x_prep, y_prep, weights, temp, ce_scale, alpha_value,
+                n_support, d_feat, ce_kind=entropies[0], precision=precision,
             )
             logits_q = _tim_logits(weights, query, temp, precision)
             g_q = _query_grad(

@@ -108,35 +108,54 @@ def _support_grad_kernel(scal_ref, x_ref, y_ref, w_ref, w2_ref, out_ref, *,
     )                                              # [Kp, dp]
 
 
-@partial(jax.jit, static_argnames=("ce_kind", "precision", "block_rows",
-                                   "interpret"))
-def pallas_tim_support_grad(support, y_s, weights, temp, scale, alpha_value,
-                            ce_kind: str = "Shannon",
-                            precision: str = "default",
-                            block_rows: int = 128,
-                            interpret: bool | None = None):
-    """Support-side CE gradient statistics, fused.
+def prepare_support(support, y_s, precision: str = "default",
+                    block_rows: int = 128):
+    """One-time kernel-layout preparation of the (loop-invariant) support.
 
-    support: [N, S, d] float32, y_s: [N, S] int32, weights: [N, K, d].
-    Returns (gs_x [N, K, d] = sum_n G x_n, col [N, K] = sum_n G) with
-    G = scale * coef * (softmax(logits) - onehot); the caller applies
-    grads_support = temp * (gs_x - col[..., None] * weights).
+    Pads the sample and feature axes, plants the ones column at lane ``d``
+    (recovers ``col = sum_n G`` as an extra output column), and casts to
+    bf16 in 'default' precision. Called OUTSIDE the Adam ``lax.scan`` so
+    the ~fp32-support-sized pad+cast stream is paid once per ``tim_infer``
+    call instead of relying on XLA to hoist it out of every step (support
+    is [N, 4000, 1000] at the ImageNet protocol — 400 MB per avoided
+    re-materialization). Returns ``(x_p [N, sp, dp], y_p [N, sp, 1])``.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     n_task, n_support, d = support.shape
-    n_class = weights.shape[1]
-    kp = _round_up(n_class, 128)
     dp = _round_up(d + 1, 128)                     # >= 1 spare lane for ones
     nb = min(block_rows, _round_up(n_support, 8))
     sp = _round_up(n_support, nb)
-
     x_p = jnp.pad(support, ((0, 0), (0, sp - n_support), (0, dp - d)))
-    # ones column at lane d: recovers col = sum_n G as output column d
     x_p = x_p.at[:, :n_support, d].set(1.0)
     y_p = jnp.pad(
         y_s.astype(jnp.int32), ((0, 0), (0, sp - n_support))
     )[..., None]                                   # [N, sp, 1]
+    if precision != "highest":
+        x_p = x_p.astype(jnp.bfloat16)
+    return x_p, y_p
+
+
+@partial(jax.jit, static_argnames=("n_support", "d", "ce_kind", "precision",
+                                   "block_rows", "interpret"))
+def pallas_tim_support_grad_prepared(x_p, y_p, weights, temp, scale,
+                                     alpha_value, n_support: int, d: int,
+                                     ce_kind: str = "Shannon",
+                                     precision: str = "default",
+                                     block_rows: int = 128,
+                                     interpret: bool | None = None):
+    """The fused support-gradient on pre-laid-out inputs (``prepare_support``).
+
+    weights: [N, K, d]. Returns (gs_x [N, K, d] = sum_n G x_n,
+    col [N, K] = sum_n G) with G = scale * coef * (softmax(logits) -
+    onehot); the caller applies grads_support = temp * (gs_x -
+    col[..., None] * weights).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_task, sp, dp = x_p.shape
+    n_class = weights.shape[1]
+    kp = _round_up(n_class, 128)
+    nb = min(block_rows, _round_up(n_support, 8))
+
     w_p = jnp.pad(weights, ((0, 0), (0, kp - n_class), (0, dp - d)))
     # fp32 norms in both modes, exactly as the XLA _tim_logits computes them
     w2_p = jnp.pad(
@@ -144,7 +163,6 @@ def pallas_tim_support_grad(support, y_s, weights, temp, scale, alpha_value,
         ((0, 0), (0, kp - n_class)),
     )[:, None, :]                                  # [N, 1, Kp]
     if precision != "highest":
-        x_p = x_p.astype(jnp.bfloat16)
         w_p = w_p.astype(jnp.bfloat16)
     scal = jnp.stack([
         jnp.asarray(temp, jnp.float32),
@@ -179,3 +197,24 @@ def pallas_tim_support_grad(support, y_s, weights, temp, scale, alpha_value,
         interpret=interpret,
     )(scal, x_p, y_p, w_p, w2_p)
     return out[:, :n_class, :d], out[:, :n_class, d]
+
+
+@partial(jax.jit, static_argnames=("ce_kind", "precision", "block_rows",
+                                   "interpret"))
+def pallas_tim_support_grad(support, y_s, weights, temp, scale, alpha_value,
+                            ce_kind: str = "Shannon",
+                            precision: str = "default",
+                            block_rows: int = 128,
+                            interpret: bool | None = None):
+    """Support-side CE gradient statistics, fused — one-shot convenience
+    wrapper (``prepare_support`` + ``pallas_tim_support_grad_prepared``).
+    The Adam loop calls the prepared form directly so the support layout
+    work runs once, not per step (methods/few_shot/tim.py).
+    """
+    n_support, d = support.shape[1], support.shape[2]
+    x_p, y_p = prepare_support(support, y_s, precision, block_rows)
+    return pallas_tim_support_grad_prepared(
+        x_p, y_p, weights, temp, scale, alpha_value, n_support, d,
+        ce_kind=ce_kind, precision=precision, block_rows=block_rows,
+        interpret=interpret,
+    )
