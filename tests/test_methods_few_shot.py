@@ -315,6 +315,45 @@ def test_support_draw_per_task_reference_order(rng):
 
 
 @pytest.mark.slow
+def test_tim_bf16_opt_state_matches_fp32(rng):
+    """tim_opt_dtype='bfloat16' (bf16 Adam moments between steps) must keep
+    the fp32-state predictions; posteriors within bf16 rounding noise."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+
+    n_task, K, shots, n_query = 2, 16, 2, 20
+    y_s = np.tile(np.arange(K), (n_task, shots))
+    y_q = np.stack([
+        rng.choice(rng.choice(K, 4, replace=False), n_query)
+        for _ in range(n_task)
+    ])
+
+    def simplex(labels, conc=30.0):
+        g = rng.gamma(1.0, size=(*labels.shape, K)).astype(np.float32)
+        g[np.arange(labels.shape[0])[:, None],
+          np.arange(labels.shape[1])[None, :], labels] += conc
+        return g / g.sum(-1, keepdims=True)
+
+    x_s = jnp.asarray(simplex(y_s))
+    x_q = jnp.asarray(simplex(y_q))
+    kw = dict(
+        n_iter=200, n_class=K, entropies=("Shannon", "Alpha", "Alpha"),
+        lr=1e-4,
+    )
+    us = {}
+    for dt in ("float32", "bfloat16"):
+        u, _ = tim_infer(
+            x_s, x_q, jnp.asarray(y_s), jnp.float32(15.0), jnp.float32(5.0),
+            jnp.ones(3, jnp.float32), opt_dtype=dt, **kw,
+        )
+        us[dt] = np.asarray(u)
+    np.testing.assert_array_equal(
+        us["float32"].argmax(-1), us["bfloat16"].argmax(-1)
+    )
+    np.testing.assert_allclose(us["float32"], us["bfloat16"], atol=2e-2)
+
+
 def test_tim_pallas_grad_protocol_scale_parity(rng):
     """K=1000 protocol-scale parity for the fast alpha-TIM path: the fused
     Pallas support gradient (interpret mode off-TPU) must produce the same

@@ -137,11 +137,12 @@ def _query_grad(p_q, entropies, alpha_value, loss_weights):
 
 @partial(jax.jit, static_argnames=("n_iter", "n_class", "entropies", "lr",
                                    "precision", "ce_impl", "mesh",
-                                   "grad_impl"))
+                                   "grad_impl", "opt_dtype"))
 def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
               n_iter: int, n_class: int, entropies: tuple, lr: float,
               precision: str = "highest", ce_impl: str = "gather",
-              mesh=None, grad_impl: str = "autodiff"):
+              mesh=None, grad_impl: str = "autodiff",
+              opt_dtype: str = "float32"):
     """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter]).
 
     ``mesh``: optional (dp, tp) mesh — tasks shard over dp; the class
@@ -174,7 +175,30 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     y_one_hot = get_one_hot(y_s, n_class) if ce_impl == "onehot" else None
     w0 = con_w(support_class_means(support, y_s, n_class))
     opt = optax.adam(lr)
-    opt_state0 = con_w(opt.init(w0))
+
+    # opt_dtype='bfloat16' stores the Adam moments bf16 between steps
+    # (halves the optimizer-state HBM stream — 400 -> 200 MB/step at the
+    # ImageNet protocol); the update itself still computes in fp32. The
+    # fp32 default is the reference-exact torch.optim.Adam state
+    # (reference: tim.py:118-124); equivalence of the bf16 option is
+    # tested (tests/test_methods_few_shot.py).
+    def compress_state(s):
+        if opt_dtype == "float32":
+            return s
+        return jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16)
+            if getattr(t, "ndim", 0) == 3 else t, s,
+        )
+
+    def expand_state(s):
+        if opt_dtype == "float32":
+            return s
+        return jax.tree.map(
+            lambda t: t.astype(jnp.float32)
+            if getattr(t, "ndim", 0) == 3 else t, s,
+        )
+
+    opt_state0 = compress_state(con_w(opt.init(w0)))
 
     def loss_fn(weights):
         logits_s = _tim_logits(weights, support, temp, precision)
@@ -277,9 +301,11 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     def step(carry, _):
         weights, opt_state, _ = carry
         (_, logits_q), grads = grad_fn(weights)
-        updates, opt_state = opt.update(con_w(grads), opt_state)
+        updates, opt_state = opt.update(
+            con_w(grads), expand_state(opt_state)
+        )
         new_weights = con_w(optax.apply_updates(weights, updates))
-        opt_state = con_w(opt_state)
+        opt_state = compress_state(con_w(opt_state))
         # per-task weight change [N], matching the reference's recorded
         # criterion (reference: tim.py weight_diff = norm(dim=-1).mean(-1))
         crit = jnp.mean(jnp.linalg.norm(weights - new_weights, axis=-1),
@@ -304,6 +330,17 @@ def resolve_matmul_precision(cfg_value: str) -> str:
     Set tim_matmul_precision: highest to force reference-fp32 everywhere."""
     if cfg_value == "auto":
         return "default" if jax.default_backend() == "tpu" else "highest"
+    return cfg_value
+
+
+def resolve_opt_dtype(cfg_value: str) -> str:
+    """Adam-moment storage dtype: 'float32' (default, reference-exact
+    state) or 'bfloat16' (opt-in; halves optimizer-state HBM traffic)."""
+    if cfg_value not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"Unknown tim_opt_dtype {cfg_value!r}; choose 'float32' or "
+            "'bfloat16'"
+        )
     return cfg_value
 
 
@@ -368,6 +405,8 @@ class ALPHA_TIM(FewShotMethod):
                 precision=resolve_matmul_precision(
                     str(args.get("tim_matmul_precision", "auto"))),
             ),
+            opt_dtype=resolve_opt_dtype(
+                str(args.get("tim_opt_dtype", "float32"))),
         )
 
 
@@ -398,4 +437,6 @@ class TIM_GD(FewShotMethod):
                 precision=resolve_matmul_precision(
                     str(args.get("tim_matmul_precision", "auto"))),
             ),
+            opt_dtype=resolve_opt_dtype(
+                str(args.get("tim_opt_dtype", "float32"))),
         )
