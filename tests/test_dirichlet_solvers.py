@@ -176,6 +176,28 @@ def test_minka_newton_beats_fixed_point_on_hard_rows(rng):
     assert max_resid(a_nw) < 5e-3
 
 
+def test_minka_newton_extreme_stats_stay_finite(rng):
+    """Extreme log-mean statistics (deeply peaked and near-uniform rows in
+    one batch) must never produce non-finite or non-positive alpha: the
+    Newton step's validity guard falls back to the globally-convergent
+    fixed-point step A(s)."""
+    from transductive_clip_tpu.ops.dirichlet import minka_newton_update_alpha
+
+    K = 32
+    y = np.zeros((1, 4, K), np.float32)
+    y[0, 0] = -1e4            # impossibly peaked: alpha -> tiny
+    y[0, 1] = -1.0 / K - 1e-6  # near the uniform-simplex upper bound
+    y[0, 2] = np.linspace(-300.0, -0.5, K)
+    y[0, 3] = -3.5
+    a0 = jnp.ones((1, 4, K), jnp.float32)
+    out = np.asarray(minka_newton_update_alpha(a0, jnp.asarray(y)))
+    assert np.isfinite(out).all()
+    assert (out > 0).all()
+    # the moderate row must actually satisfy stationarity
+    resid = sp_digamma(out[0, 3]) - sp_digamma(out[0, 3].sum()) - y[0, 3]
+    assert np.abs(resid).max() < 5e-3
+
+
 def test_minka_newton_row_mask_freezes_exactly(rng):
     """row_mask=False rows come back bit-identical to alpha0, and live rows
     are unaffected by the frozen rows' presence."""
