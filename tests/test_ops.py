@@ -156,6 +156,57 @@ class TestClusteringAccuracyDevicePath:
         np.testing.assert_allclose(acc_dev, acc_host)
 
 
+def test_rank_select_rows_matches_topk_semantics(rng):
+    """The sort-free row selection must pick exactly the populated-cluster
+    set with DISTINCT indices (the top_k invariant downstream code relies
+    on), including the adversarial layout where cluster 0 is populated and
+    absent rows exist."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.base import _rank_select_rows
+
+    N, K, R = 5, 40, 12
+    counts = np.zeros((N, K), np.float32)
+    for t in range(N):
+        k = rng.integers(1, R + 1)
+        cl = rng.choice(K, k, replace=False)
+        if t == 0:
+            cl[0] = 0              # cluster 0 populated + absent rows
+        counts[t, cl] = rng.integers(1, 20, k)
+    cnt, idx, present = map(
+        np.asarray, _rank_select_rows(jnp.asarray(counts), R)
+    )
+    for t in range(N):
+        assert len(set(idx[t])) == R                   # distinct indices
+        populated = set(np.flatnonzero(counts[t] > 0))
+        assert set(idx[t][present[t]]) == populated
+        np.testing.assert_array_equal(cnt[t], counts[t, idx[t]])
+        assert (cnt[t][present[t]] > 0).all()
+        assert (cnt[t][~present[t]] == 0).all()
+
+
+@pytest.mark.parametrize("backend,gm", [("host", True), ("device", True),
+                                        ("host", False)])
+def test_proto_select_rank_matches_topk(rng, backend, gm):
+    """clustering_accuracy with proto_select='rank' must reproduce the
+    'topk' selection exactly on every matching backend."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods.base import clustering_accuracy
+    from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
+
+    x, y = make_zero_shot_tasks(rng, 6, 20, 30, k_eff=5, concentration=20.0)
+    u = np.abs(x + 0.01 * rng.normal(size=x.shape).astype(np.float32))
+    base = dict(n_class=30, T=30.0, use_softmax_feature=True,
+                graph_matching=gm, matching_backend=backend,
+                proto_device=True)
+    acc_tk, preds_tk = clustering_accuracy(
+        u, x, y, CfgNode(dict(**base, proto_select="topk")))
+    acc_rk, preds_rk = clustering_accuracy(
+        u, x, y, CfgNode(dict(**base, proto_select="rank")))
+    np.testing.assert_array_equal(preds_tk, preds_rk)
+    np.testing.assert_allclose(acc_tk, acc_rk)
+
+
 def test_device_rename_matches_scatter_matching_rows(rng):
     """_accuracy_device's dense match-select rename must reproduce the
     host LUT semantics (scatter_matching_rows), including unmatched

@@ -45,6 +45,21 @@ def init_soft_assignments(query, cfg, text_features=None):
 from functools import partial
 
 
+def _proto_select(cfg):
+    """Row-selection implementation for the device accuracy path:
+    'topk' (sort-based) or 'rank' (sort-free cumsum selection — same row
+    set with distinct indices, see `_rank_select_rows`). 'auto' currently
+    resolves to 'topk'."""
+    v = str(cfg.get("proto_select", "auto"))
+    if v == "auto":
+        return "topk"
+    if v not in ("topk", "rank"):
+        raise ValueError(
+            f"unknown proto_select {v!r}; expected 'auto', 'topk' or 'rank'"
+        )
+    return v
+
+
 def _matching_backend(cfg):
     """'auto' (default) -> the on-device auction on TPU (measured 0.4 vs
     ~9 ms/task for the host JV at K=1000; scripts/bench_suite.py), the host
@@ -55,9 +70,10 @@ def _matching_backend(cfg):
     return backend
 
 
-@partial(jax.jit, static_argnames=("use_softmax", "R", "graph_matching"))
+@partial(jax.jit, static_argnames=("use_softmax", "R", "graph_matching",
+                                   "select"))
 def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
-                     R: int, graph_matching: bool):
+                     R: int, graph_matching: bool, select: str = "topk"):
     """The full zero-shot accuracy reduction on device: prototypes ->
     cluster->class matching (batched auction / argmax) -> LUT rename ->
     per-task accuracy. Only scalars and [N, n] ints need to cross the host
@@ -73,7 +89,7 @@ def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
 
     n_task, _, n_class = u.shape
     preds, idx, probs, present = _proto_rows_device(
-        u, query, T, text_features, use_softmax, R
+        u, query, T, text_features, use_softmax, R, select
     )
     if graph_matching:
         cols = auction_assign(probs * present[..., None])       # [N, R]
@@ -82,10 +98,12 @@ def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
     else:
         cols = jnp.argmax(probs, axis=-1)
         ok = jnp.asarray(True)
-    # rename via a dense match-select (idx rows are distinct, so each pred
-    # matches at most one row; unmatched preds -> 0 like the zero-filled
-    # LUT). A scatter+gather LUT serializes the scatter on TPU.
-    match = preds[:, :, None] == idx[:, None, :]                # [N, n, R]
+    # rename via a dense match-select (each pred matches at most one
+    # PRESENT row: top_k rows are distinct, and rank-selected absent rows
+    # share idx 0 but are masked out here; unmatched preds -> 0 like the
+    # zero-filled LUT). A scatter+gather LUT serializes the scatter on TPU.
+    match = (preds[:, :, None] == idx[:, None, :]) \
+        & present[:, None, :]                                   # [N, n, R]
     new_preds = jnp.sum(
         jnp.where(match, cols[:, None, :].astype(preds.dtype), 0), axis=2
     )
@@ -94,11 +112,39 @@ def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
     return acc, new_preds, ok, preds, idx, probs
 
 
-@partial(jax.jit, static_argnames=("use_softmax", "R"))
-def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int):
+def _rank_select_rows(counts, R):
+    """Sort-free populated-row selection via cumsum ranks and a dense
+    compare+argmax (TPU ``top_k`` is sort-based; see the scatter/sort
+    design notes in README). Rows are ordered populated-first (in cluster
+    index order), then empty clusters (also in index order), so the R
+    indices are DISTINCT exactly like ``top_k``'s — the selected set
+    contains every populated row for the same reason top-R-by-count does
+    (R >= the number of distinct predicted clusters); only the ordering
+    differs, which nothing downstream depends on.
+
+    Returns (cnt [N, R], idx [N, R], present [N, R]).
+    """
+    nonzero = counts > EPS
+    nz = nonzero.astype(jnp.int32)
+    rank_nz = jnp.cumsum(nz, axis=1)                    # rank among populated
+    rank_z = jnp.cumsum(1 - nz, axis=1)                 # rank among empty
+    n_nz = rank_nz[:, -1:]
+    grank = jnp.where(nonzero, rank_nz, n_nz + rank_z)  # 1..K, a permutation
+    targets = jnp.arange(1, R + 1, dtype=jnp.int32)
+    eq = grank[:, :, None] == targets[None, None, :]    # [N, K, R]
+    idx = jnp.argmax(eq, axis=1).astype(jnp.int32)      # [N, R]
+    present = targets[None, :] <= n_nz
+    cnt = jnp.take_along_axis(counts, idx, axis=1)
+    return cnt, idx, present
+
+
+@partial(jax.jit, static_argnames=("use_softmax", "R", "select"))
+def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int,
+                       select: str = "topk"):
     """Cluster prototypes -> class probabilities on device, compressed to the
     top-R clusters by population (R = min(K, n_query) always covers every
     cluster present in the predictions — exact, see ops/matching.py).
+    ``select='rank'`` picks the same row set sort-free (`_rank_select_rows`).
 
     Returns (preds [N,n], row_idx [N,R], row_probs [N,R,C], present [N,R]).
     The prototype einsum is the accuracy path's FLOPs hot spot at ImageNet
@@ -109,7 +155,10 @@ def _proto_rows_device(u, query, T, text_features, use_softmax: bool, R: int):
     preds = jnp.argmax(u, axis=2)
     one_hot = get_one_hot(preds, n_class)                       # [N, n, K]
     counts = jnp.sum(one_hot, axis=1)                           # [N, K]
-    cnt_c, idx = jax.lax.top_k(counts, R)                       # [N, R]
+    if select == "rank":
+        cnt_c, idx, _ = _rank_select_rows(counts, R)
+    else:
+        cnt_c, idx = jax.lax.top_k(counts, R)                   # [N, R]
     oh_c = jnp.take_along_axis(one_hot, idx[:, None, :], axis=2)
     protos = f32_einsum("tnr,tnd->trd", oh_c, query)            # [N, R, d]
     present = cnt_c > EPS
@@ -171,7 +220,8 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None, extras=()):
     if graph_matching and _matching_backend(cfg) != "device":
         # host JV matching: the [N, R, C] prototype rows must come back
         preds_d, idx_d, probs_d, _ = _proto_rows_device(
-            u, query, jnp.float32(cfg.T), tf, use_softmax, R
+            u, query, jnp.float32(cfg.T), tf, use_softmax, R,
+            _proto_select(cfg),
         )
         preds, idx_h, probs_h, extras_h = jax.device_get(
             (preds_d, idx_d, probs_d, extras)
@@ -183,7 +233,7 @@ def clustering_accuracy(u, query, y_q, cfg, text_features=None, extras=()):
 
     acc_d, new_preds_d, ok, preds_d, idx_d, probs_d = _accuracy_device(
         u, query, jnp.asarray(y_q, jnp.int32), jnp.float32(cfg.T), tf,
-        use_softmax, R, graph_matching,
+        use_softmax, R, graph_matching, _proto_select(cfg),
     )
     # one combined transfer for everything small — each host round trip on
     # a tunneled link costs whole milliseconds, so acc/preds/ok (and the
@@ -586,6 +636,7 @@ class TransductiveMethod:
                 _accuracy_device(
                     u_d, query_d, jnp.asarray(y_q, jnp.int32),
                     jnp.float32(cfg.T), tf, use_softmax, R, graph_matching,
+                    _proto_select(cfg),
                 )
             )
             handles = (
