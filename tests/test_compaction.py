@@ -319,3 +319,55 @@ def test_fs_fast_tier_gate_rejects_flat_features(rng):
         em_fs._COMPACT_FAST = orig
         em_fs.em_dirichlet_fs_infer.clear_cache()
     np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_wide))
+
+
+def test_compact_select_rank_matches_topk(rng):
+    """`compact_select: rank` (sort-free covering selection) must reproduce
+    the top-k path: identical predictions and near-identical posteriors
+    (ordering of the compact rows differs, so fp accumulation inside the
+    solver criterion may differ in the last bits)."""
+    x, y = make_simplex_tasks(
+        rng, n_task=3, n_query=20, n_class=120, k_eff=5, concentration=80.0
+    )
+    lambd = float(int(120 / 5) * 20)
+    for hard in (False, True):
+        kw = dict(n_iter=6, iter_mm=200, hard=hard, solver="minka",
+                  compact=True, compact_first=True)
+        u_tk, c_tk = em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), select="topk", **kw)
+        u_rk, c_rk = em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), select="rank", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(u_tk).argmax(-1), np.asarray(u_rk).argmax(-1),
+            err_msg=f"hard={hard}",
+        )
+        np.testing.assert_allclose(np.asarray(u_tk), np.asarray(u_rk),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_tk), np.asarray(c_rk),
+                                   rtol=1e-3, atol=1e-9)
+
+
+def test_fs_compact_select_rank_matches_topk(rng):
+    from transductive_clip_tpu.methods.few_shot.em_dirichlet import (
+        em_dirichlet_fs_infer,
+    )
+    from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
+
+    x_s, y_s, x_q, y_q = make_few_shot_tasks(
+        rng, 2, 20, 120, 1, k_eff=5, concentration=80.0)
+    lambd = float(int(120 / 5) * 20)
+    for hard in (False, True):
+        kw = dict(n_iter=6, iter_mm=200, n_class=120, hard=hard,
+                  solver="minka", compact=True)
+        u_tk, _ = em_dirichlet_fs_infer(
+            jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+            jnp.float32(lambd), select="topk", **kw)
+        u_rk, _ = em_dirichlet_fs_infer(
+            jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+            jnp.float32(lambd), select="rank", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(u_tk).argmax(-1), np.asarray(u_rk).argmax(-1),
+            err_msg=f"hard={hard}",
+        )
+        np.testing.assert_allclose(np.asarray(u_tk), np.asarray(u_rk),
+                                   atol=1e-5)

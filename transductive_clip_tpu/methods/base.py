@@ -60,6 +60,24 @@ def _proto_select(cfg):
     return v
 
 
+def compact_select_impl(cfg):
+    """Row-selection implementation for the EM compact step: 'topk'
+    (sort-based, mass-ordered) or 'rank' (sort-free covering selection —
+    same selected set whenever at most n_compact clusters carry mass, the
+    regime where compaction itself is exact; ops.common.rank_select_rows).
+    'auto' currently resolves to 'topk' (measured equal-or-faster on the
+    tunneled v5e; the knob exists because the winner is shape- and
+    backend-dependent)."""
+    v = str(cfg.get("compact_select", "auto"))
+    if v == "auto":
+        return "topk"
+    if v not in ("topk", "rank"):
+        raise ValueError(
+            f"unknown compact_select {v!r}; expected 'auto', 'topk' or 'rank'"
+        )
+    return v
+
+
 def _matching_backend(cfg):
     """'auto' (default) -> the on-device auction on TPU (measured 0.4 vs
     ~9 ms/task for the host JV at K=1000; scripts/bench_suite.py), the host
@@ -113,29 +131,13 @@ def _accuracy_device(u, query, y_q, T, text_features, use_softmax: bool,
 
 
 def _rank_select_rows(counts, R):
-    """Sort-free populated-row selection via cumsum ranks and a dense
-    compare+argmax (TPU ``top_k`` is sort-based; see the scatter/sort
-    design notes in README). Rows are ordered populated-first (in cluster
-    index order), then empty clusters (also in index order), so the R
-    indices are DISTINCT exactly like ``top_k``'s — the selected set
-    contains every populated row for the same reason top-R-by-count does
-    (R >= the number of distinct predicted clusters); only the ordering
-    differs, which nothing downstream depends on.
+    """Sort-free populated-row selection (see ``ops.common.rank_select_rows``;
+    the selected set contains every populated row because
+    R >= the number of distinct predicted clusters — only the ordering
+    differs from ``top_k``'s, which nothing downstream depends on)."""
+    from ..ops.common import rank_select_rows
 
-    Returns (cnt [N, R], idx [N, R], present [N, R]).
-    """
-    nonzero = counts > EPS
-    nz = nonzero.astype(jnp.int32)
-    rank_nz = jnp.cumsum(nz, axis=1)                    # rank among populated
-    rank_z = jnp.cumsum(1 - nz, axis=1)                 # rank among empty
-    n_nz = rank_nz[:, -1:]
-    grank = jnp.where(nonzero, rank_nz, n_nz + rank_z)  # 1..K, a permutation
-    targets = jnp.arange(1, R + 1, dtype=jnp.int32)
-    eq = grank[:, :, None] == targets[None, None, :]    # [N, K, R]
-    idx = jnp.argmax(eq, axis=1).astype(jnp.int32)      # [N, R]
-    present = targets[None, :] <= n_nz
-    cnt = jnp.take_along_axis(counts, idx, axis=1)
-    return cnt, idx, present
+    return rank_select_rows(counts, R, thresh=EPS)
 
 
 @partial(jax.jit, static_argnames=("use_softmax", "R", "select"))

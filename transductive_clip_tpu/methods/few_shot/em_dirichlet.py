@@ -52,12 +52,13 @@ _COMPACT_FAST = 32
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "n_class", "hard",
                                    "solver", "early_stop", "compact", "mesh",
-                                   "return_n_iter"))
+                                   "return_n_iter", "select"))
 def em_dirichlet_fs_infer(support, query, y_s, lambd,
                           n_iter: int, iter_mm: int, n_class: int, hard: bool,
                           solver: str = "mm", early_stop: bool = True,
                           early_stop_tol: float = 1e-6, compact: bool = True,
-                          mesh=None, return_n_iter: bool = False):
+                          mesh=None, return_n_iter: bool = False,
+                          select: str = "topk"):
     """support/query: [N, s, K] / [N, n, K] softmax features; y_s: [N, s].
 
     ``mesh``: optional (dp, tp) mesh — tasks shard over dp, alpha's trailing
@@ -107,7 +108,18 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
 
     def step_compact(u, alpha_old, l12, l3):
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
-        mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
+        if select == "rank":
+            # sort-free covering selection; thresh=0 matches this module's
+            # populated predicate (u_sum > 0 / mass > 0 below). Same
+            # selected set whenever <= n_compact clusters carry query mass
+            # (the regime where compaction is exact), and the fast-tier
+            # gate only fires when all populated rows fit in n_fast, which
+            # populated-first ordering preserves.
+            from ...ops.common import rank_select_rows
+
+            mass, idx, _ = rank_select_rows(u_sum, n_compact, thresh=0.0)
+        else:
+            mass, idx = jax.lax.top_k(u_sum, n_compact)           # [N, C]
         u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)
         query_stat_c = f32_einsum("tnc,tnd->tcd", u_c, log_q)
         supp_c = jnp.take_along_axis(supp_stat, idx[..., None], axis=1)
@@ -232,6 +244,9 @@ class EM_DIRICHLET(FewShotMethod):
         self.early_stop = bool(args.get("early_stop", True))
         self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
         self.compact = bool(args.get("compact_clusters", True))
+        from ..base import compact_select_impl
+
+        self.select = compact_select_impl(args)
 
     def _check_compaction(self, u, n_query, n_class):
         if self.compact and n_class > 2 * (n_query + _COMPACT_MARGIN):
@@ -268,6 +283,7 @@ class EM_DIRICHLET(FewShotMethod):
             compact=self.compact,
             mesh=self.mesh,
             return_n_iter=True,
+            select=self.select,
         )
         self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
         return u, criterions, n_exec

@@ -99,7 +99,7 @@ def _em_step_full(u, alpha_old, log_query, lambd, n_query, n_class,
 
 def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
                      n_class, iter_mm, solver, hard, n_compact, con,
-                     mesh=None, n_fast=None):
+                     mesh=None, n_fast=None, select="topk"):
     """EM iteration solving alpha only for the top-``n_compact`` clusters.
 
     The cluster-row gathers/scatters act on alpha's axis 1; the sharded axes
@@ -121,7 +121,18 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     """
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
-    mass, idx = jax.lax.top_k(u_sum, n_compact)                   # [N, C]
+    if select == "rank":
+        # sort-free covering selection (ops.common.rank_select_rows): same
+        # selected set whenever <= n_compact clusters carry mass — exactly
+        # the regime where compaction itself is exact — and the fast-tier
+        # gate below only fires when ALL populated rows fit in n_fast, so
+        # populated-first ordering preserves its coverage guarantee too.
+        # thresh=EPS matches the ``populated`` predicate.
+        from ...ops.common import rank_select_rows
+
+        mass, idx, _ = rank_select_rows(u_sum, n_compact, thresh=EPS)
+    else:
+        mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
     u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)         # [N, n, C]
     num_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
     y_c, nonzero_c = clamped_cluster_means(num_c, mass, eps=EPS)
@@ -198,13 +209,14 @@ def _criterion_from_ss(diff_ss, ss_before):
 
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
                                    "compact", "compact_first", "early_stop",
-                                   "mesh", "return_n_iter"))
+                                   "mesh", "return_n_iter", "select"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                        solver: str = "mm", compact: bool = True,
                        compact_first: bool = False,
                        early_stop: bool = True,
                        early_stop_tol: float = 1e-6,
-                       mesh=None, return_n_iter: bool = False):
+                       mesh=None, return_n_iter: bool = False,
+                       select: str = "topk"):
     """Run EM-Dirichlet on a batch of tasks.
 
     query: [N, n, K] softmax features. Returns (u [N, n, K], criterions [n_iter]).
@@ -233,7 +245,7 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     use_compact = compact and engaged
     n_fast = min(_COMPACT_FAST, n_compact)
 
-    def compact_step(u, alpha_old, l12, l3):
+    def compact_step(u, alpha_old, l12, l3, step_select=select):
         """Two-tier compact iteration: the alpha solve (the Minka solve is
         ~80% of the iteration) runs on only ``n_fast`` top-mass rows when
         every task's populated-cluster count fits — gated exactly inside
@@ -241,6 +253,7 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         return _em_step_compact(
             u, alpha_old, l12, l3, log_query, lambd, n_query, n_class,
             iter_mm, solver, hard, n_compact, con, mesh, n_fast=n_fast,
+            select=step_select,
         )
 
     alpha_old = alpha
@@ -260,8 +273,13 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         l12 = jnp.full((n_task, n_class), math.lgamma(n_class), jnp.float32)
         l3 = con(jnp.zeros((n_task, n_query, n_class), jnp.float32),
                  "dp", None, None)
+        # iteration 1's u is the DENSE raw features — every cluster carries
+        # mass, so covering selection doesn't apply; the top-C-by-mass sort
+        # is what makes compact_first prediction-identical at protocol
+        # peaking. 'rank' only ever replaces the sort on the sparse
+        # iterations (2+), where the selected SET is provably identical.
         u, alpha, l12, l3, diff_ss, delta_ss = compact_step(
-            u, alpha, l12, l3
+            u, alpha, l12, l3, step_select="topk"
         )
         # ||ones||^2 = K*K exactly; no full-tensor read anywhere
         first_crit, first_max = _criterion_from_ss(diff_ss, ss)
@@ -351,6 +369,9 @@ class EM_DIRICHLET(TransductiveMethod):
         self._cf_guard_pending = cf == "auto"
         self.early_stop = bool(args.get("early_stop", True))
         self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
+        from ..base import compact_select_impl
+
+        self.select = compact_select_impl(args)
 
     def _check_compaction(self, u, n_query, n_class):
         n_compact, engaged = compaction_geometry(n_query, n_class)
@@ -377,6 +398,7 @@ class EM_DIRICHLET(TransductiveMethod):
             early_stop_tol=jnp.float32(self.early_stop_tol),
             mesh=self.mesh,
             return_n_iter=True,
+            select=self.select,
         )
 
     def _infer(self, task):

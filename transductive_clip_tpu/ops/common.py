@@ -39,6 +39,42 @@ def device_sync(x):
     return x
 
 
+def rank_select_rows(counts, R, thresh=EPS):
+    """Sort-free selection of ``R`` rows covering every populated one.
+
+    TPU ``top_k`` is sort-based; when downstream code only needs the
+    selected SET to contain every row with ``counts > thresh`` (and freezes
+    the rest), the ordering by mass is irrelevant and a cumsum-rank +
+    dense compare/argmax picks the same coverage without the sort:
+    populated rows first (in row-index order), then empty rows (also in
+    index order), so the R indices are DISTINCT exactly like ``top_k``'s.
+
+    Whenever the populated count is <= R the selected set contains every
+    populated row — the same guarantee top-R-by-count gives (only the
+    ordering differs). With MORE than R populated rows top_k keeps the
+    heaviest while this keeps the lowest-indexed; callers gate on the
+    populated count (or accept the deviation their sparsity check warns
+    about) in that regime.
+
+    ``thresh`` must match the caller's populated predicate
+    (``counts > thresh``).
+
+    Returns (cnt [..., R], idx [..., R] int32, present [..., R] bool).
+    """
+    nonzero = counts > thresh
+    nz = nonzero.astype(jnp.int32)
+    rank_nz = jnp.cumsum(nz, axis=-1)                   # rank among populated
+    rank_z = jnp.cumsum(1 - nz, axis=-1)                # rank among empty
+    n_nz = rank_nz[..., -1:]
+    grank = jnp.where(nonzero, rank_nz, n_nz + rank_z)  # 1..K, a permutation
+    targets = jnp.arange(1, R + 1, dtype=jnp.int32)
+    eq = grank[..., :, None] == targets                 # [..., K, R]
+    idx = jnp.argmax(eq, axis=-2).astype(jnp.int32)     # [..., R]
+    present = targets <= n_nz
+    cnt = jnp.take_along_axis(counts, idx, axis=-1)
+    return cnt, idx, present
+
+
 def constrainer(mesh):
     """Build a sharding-constraint function for ``mesh``.
 
