@@ -234,6 +234,64 @@ def main():
                              f"{n_rep} batches",
         })
 
+        # fused one-dispatch pipeline (fused_dispatch): the evaluator's
+        # steady-state batch = sample indices on host, ship [N, n] int32,
+        # ONE program (gather + method + accuracy), combined end fetch.
+        # This is the full production e2e loop including sampling.
+        import jax.numpy as _jnp
+
+        from transductive_clip_tpu.tasks import (
+            CategoriesSamplerZeroShot,
+            SamplerQueryZeroShot,
+        )
+
+        # feature table drawn from the SAME per-sample distribution as the
+        # method rows' tasks (utils/synthetic.py: Dirichlet, label-peaked
+        # at the same concentration) so the EM iteration counts — and
+        # therefore the e2e rows — are comparable
+        n_per_class = 50
+        conc = 60.0                 # make_zero_shot_tasks' default peaking
+        table_labels = np.repeat(np.arange(n_class), n_per_class)
+        a = np.ones((table_labels.size, n_class), np.float32)
+        a[np.arange(table_labels.size), table_labels] += conc
+        table = rng.gamma(a).astype(np.float32)
+        table /= table.sum(1, keepdims=True)
+        feats_dev = _jnp.asarray(table)
+        labels_dev = _jnp.asarray(table_labels, _jnp.int32)
+        sampler = CategoriesSamplerZeroShot(
+            n_task, 5, n_class, n_query, force_query_size=True,
+            rng=np.random.default_rng(0),
+        )
+        sampler.create_list_classes(table_labels)
+
+        # one fixed index draw reused across reps: the deferred row above
+        # also times a fixed batch, so the two rows differ only in dispatch
+        # structure (the ~3 ms/batch host sampling is re-run per rep)
+        idx_fixed = np.stack(list(SamplerQueryZeroShot(sampler)))
+
+        method_f = get_zero_shot_method("EM_DIRICHLET", args=cfg_defer)
+        res0 = method_f.run_task_fused(feats_dev, labels_dev, idx_fixed)
+        _jax.device_get(res0.handles)              # compile/warmup
+        t0 = time.perf_counter()
+        pending = [
+            method_f.run_task_fused(feats_dev, labels_dev, idx_fixed)
+            for _ in range(n_rep)
+        ]
+        host = _jax.device_get([r.handles for r in pending])
+        elapsed_f = (time.perf_counter() - t0) / n_rep
+        logs_f = pending[0].finalize(host[0], elapsed_f / n_task)
+        rows.append({
+            "metric": "end_to_end_zero_shot_fused",
+            "value": round(n_task / elapsed_f, 3),
+            "unit": "tasks/sec",
+            "seconds_per_task": round(elapsed_f / n_task, 5),
+            "vs_baseline": round(REF_SOFT * n_task / elapsed_f, 2),
+            "acc": round(float(np.mean(logs_f["acc"][:, -1])), 4),
+            "baseline_note": "fused_dispatch pipeline incl. host sampling, "
+                             f"one program/batch, fetch amortized over "
+                             f"{n_rep} batches",
+        })
+
     # ---- CLIP extraction throughput + MFU (--extraction) -----------------
     if args.extraction:
         from transductive_clip_tpu.models.clip import (

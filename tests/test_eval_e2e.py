@@ -216,3 +216,72 @@ def test_device_gather_matches_host_path(cfg_base, rng):
     acc_dev, _ = fs(True)
     acc_host, _ = fs(False)
     assert abs(acc_dev - acc_host) < 1e-6
+
+
+def test_fused_dispatch_matches_deferred_and_blocking(cfg_base, rng):
+    """run_task_fused (one program per batch: gather + method + accuracy)
+    must reproduce both the per-program deferred path and the blocking path
+    exactly — same seed -> same tasks -> identical mean accuracy — for a
+    clustering-accuracy method and the direct-accuracy baseline."""
+    feats_q, labels_q = synth_features(rng)
+
+    def zs(method, fused, defer=True):
+        cfg = cfg_base(dataset="eurosat", method=method, shots=0,
+                       number_tasks=6, batch_size=2, n_query=30, seed=11,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = defer
+        cfg.fused_dispatch = fused
+        cfg.matching_backend = "device"
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    for method in ("em_dirichlet", "inductive_clip"):
+        acc_fused, t_fused = zs(method, True)
+        acc_defer, _ = zs(method, False)
+        acc_block, _ = zs(method, False, defer=False)
+        assert abs(acc_fused - acc_defer) < 1e-7, method
+        assert abs(acc_fused - acc_block) < 1e-7, method
+        assert t_fused > 0
+
+
+def test_fused_dispatch_host_matching_falls_back(cfg_base, rng):
+    """A host matching backend cannot fuse; the evaluator must fall back to
+    the (blocking) host path and stay exact."""
+    feats_q, labels_q = synth_features(rng)
+
+    def zs(fused):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                       number_tasks=4, batch_size=2, n_query=30, seed=5,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = True
+        cfg.fused_dispatch = fused
+        cfg.matching_backend = "host"
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_fused, _ = zs(True)
+    acc_plain, _ = zs(False)
+    assert abs(acc_fused - acc_plain) < 1e-7
+
+
+def test_fused_dispatch_few_shot_matches_deferred_and_blocking(cfg_base, rng):
+    """Few-shot run_task_fused (gathers + flip remap + method + accuracy in
+    one program) must reproduce the per-program deferred and blocking paths
+    exactly, for an EM method and a non-iterative one."""
+    feats_q, labels_q = synth_features(rng)
+    feats_s, labels_s = synth_features(rng)
+
+    def fs(method, fused, defer=True):
+        cfg = cfg_base(dataset="eurosat", method=method, shots=2,
+                       number_tasks=6, batch_size=2, n_query=30, seed=13,
+                       iter=6, iter_mm=100, tunable=False)
+        cfg.defer_fetch = defer
+        cfg.fused_dispatch = fused
+        return EvaluatorFewShot(args=cfg).evaluate_tasks(
+            feats_s, labels_s, feats_q, labels_q)
+
+    for method in ("em_dirichlet", "bdcspn"):
+        acc_fused, t_fused = fs(method, True)
+        acc_defer, _ = fs(method, False)
+        acc_block, _ = fs(method, False, defer=False)
+        assert abs(acc_fused - acc_defer) < 1e-7, method
+        assert abs(acc_fused - acc_block) < 1e-7, method
+        assert t_fused > 0

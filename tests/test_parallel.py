@@ -136,13 +136,16 @@ def test_evaluator_data_parallel_defer_fetch_matches_blocking():
 
     cfg_block = _eval_cfg(True, tp=2)
     cfg_block.defer_fetch = False
-    cfg_defer = _eval_cfg(True, tp=2)
-    cfg_defer.defer_fetch = True
     acc_block, _ = EvaluatorZeroShot(args=cfg_block).evaluate_tasks(
         feats, labels)
-    acc_defer, _ = EvaluatorZeroShot(args=cfg_defer).evaluate_tasks(
-        feats, labels)
-    assert abs(acc_block - acc_defer) < 1e-7, (acc_block, acc_defer)
+    for fused in (False, True):   # per-program deferred AND fused dispatch
+        cfg_defer = _eval_cfg(True, tp=2)
+        cfg_defer.defer_fetch = True
+        cfg_defer.fused_dispatch = fused
+        acc_defer, _ = EvaluatorZeroShot(args=cfg_defer).evaluate_tasks(
+            feats, labels)
+        assert abs(acc_block - acc_defer) < 1e-7, (
+            fused, acc_block, acc_defer)
 
 
 def test_batch_dp_image_encoding_matches_single_device():

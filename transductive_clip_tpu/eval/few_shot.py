@@ -176,6 +176,14 @@ class EvaluatorFewShot:
             feats_q_dev = jnp.asarray(np.asarray(query_features, np.float32))
             labels_s_np = np.asarray(support_labels)
             labels_q_np = np.asarray(query_labels)
+            labels_s_dev = jnp.asarray(labels_s_np, jnp.int32)
+            labels_q_dev = jnp.asarray(labels_q_np, jnp.int32)
+        # fused one-dispatch path (methods/base.py run_task_fused): per
+        # batch only the two index matrices cross the link; gathers, the
+        # flip remap, the method, and the accuracy run as one program
+        fused_cfg = args.get("fused_dispatch", "auto")
+        use_fused = (device_gather if str(fused_cfg).lower() == "auto"
+                     else bool(fused_cfg) and device_gather)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
@@ -189,24 +197,37 @@ class EvaluatorFewShot:
             support_draw=str(args.get("support_draw", "vectorized")),
         )
         sampler.create_list_classes(support_labels, query_labels)
+        def build_tasks_from_idx(idx_s, idx_q):
+            x_s = _device_gather(feats_s_dev, idx_s)
+            x_q = _device_gather(feats_q_dev, idx_q)
+            y_s = labels_s_np[idx_s]
+            y_q = labels_q_np[idx_q]
+            if args.use_softmax_feature:
+                x_s, x_q = x_s[..., ::-1], x_q[..., ::-1]
+                y_s = int(args.n_class) - 1 - y_s
+                y_q = int(args.n_class) - 1 - y_q
+            tasks = {
+                "x_s": x_s, "y_s": y_s[..., None],
+                "x_q": x_q, "y_q": y_q[..., None],
+            }
+            if text_features is not None:
+                tasks["text_features"] = text_features
+            if mesh is not None:
+                from ..parallel import shard_task_batch
+
+                tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
+                tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+            return tasks
+
         def make_batch():
             if device_gather:
                 # keep the reference's draw order: query first, then
-                # support (matches the host loader construction below)
+                # support (matches the host loader construction below).
+                # Only the indices are drawn here — the gather is fused
+                # into the method program on the fused path
                 idx_q = np.stack(list(SamplerQueryFewShot(sampler)))
                 idx_s = np.stack(list(SamplerSupportFewShot(sampler)))
-                x_s = _device_gather(feats_s_dev, idx_s)
-                x_q = _device_gather(feats_q_dev, idx_q)
-                y_s = labels_s_np[idx_s]
-                y_q = labels_q_np[idx_q]
-                if args.use_softmax_feature:
-                    x_s, x_q = x_s[..., ::-1], x_q[..., ::-1]
-                    y_s = int(args.n_class) - 1 - y_s
-                    y_q = int(args.n_class) - 1 - y_q
-                tasks = {
-                    "x_s": x_s, "y_s": y_s[..., None],
-                    "x_q": x_q, "y_q": y_q[..., None],
-                }
+                return ("idx", idx_s, idx_q)
             else:
                 loader_query = [
                     (query_features[idx], query_labels[idx])
@@ -221,14 +242,14 @@ class EvaluatorFewShot:
                     n_class=args.n_class, loader_support=loader_support,
                     loader_query=loader_query, args=args,
                 ).generate_tasks()
-            if text_features is not None:
-                tasks["text_features"] = text_features
-            if mesh is not None:
-                from ..parallel import shard_task_batch
+                if text_features is not None:
+                    tasks["text_features"] = text_features
+                if mesh is not None:
+                    from ..parallel import shard_task_batch
 
-                tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
-                tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
-            return tasks
+                    tasks["x_s"] = shard_task_batch(tasks["x_s"], mesh)
+                    tasks["x_q"] = shard_task_batch(tasks["x_q"], mesh)
+                return ("tasks", tasks)
 
         # prefetch (opt-in): one worker thread samples batch i+1 while the
         # device runs batch i — worthwhile when the train split has
@@ -251,9 +272,35 @@ class EvaluatorFewShot:
                 pending = pool.submit(make_batch) if prefetch else None
                 for b in range(n_batches):
                     with timer.phase("sampling"):
-                        tasks = pending.result() if prefetch else make_batch()
+                        item = pending.result() if prefetch else make_batch()
                     if prefetch and b + 1 < n_batches:
                         pending = pool.submit(make_batch)
+                    idx_s = idx_q = tasks = None
+                    if item[0] == "idx":
+                        idx_s, idx_q = item[1], item[2]
+                    else:
+                        tasks = item[1]
+                    # fused one-dispatch path: only the index matrices
+                    # cross the link
+                    if defer and use_fused and b > 0 and idx_s is not None:
+                        with timer.phase("dispatch"):
+                            res = method.run_task_fused(
+                                feats_s_dev, feats_q_dev, labels_s_dev,
+                                labels_q_dev, idx_s, idx_q,
+                                shot=args.shots, text_features=text_features,
+                            )
+                        if res is not None:
+                            deferred.append(res)
+                            continue
+                        use_fused = False
+                        self._log(
+                            "fused_dispatch: configuration needs a host "
+                            "step per batch; using per-program deferred "
+                            "dispatch"
+                        )
+                    if tasks is None:
+                        with timer.phase("sampling"):
+                            tasks = build_tasks_from_idx(idx_s, idx_q)
                     # batch 0 runs blocking (compiles the programs); later
                     # batches dispatch async, fetched together at the end
                     if defer and b > 0:
@@ -277,6 +324,15 @@ class EvaluatorFewShot:
                     if defer and b == 0:
                         import time as _time
 
+                        if use_fused and idx_s is not None:
+                            # warm the fused program's compile cache before
+                            # the timed deferred tail (result discarded)
+                            if method.run_task_fused(
+                                feats_s_dev, feats_q_dev, labels_s_dev,
+                                labels_q_dev, idx_s, idx_q,
+                                shot=args.shots, text_features=text_features,
+                            ) is None:
+                                use_fused = False
                         t_tail0 = _time.perf_counter()
         finally:
             if pool is not None:

@@ -677,6 +677,138 @@ class TransductiveMethod:
 
         return DeferredTaskResult(handles, _finalize)
 
+    # -- fused one-dispatch batch --------------------------------------
+    #
+    # run_task_deferred removes the per-batch host SYNCS, but each batch
+    # still pays several dispatch round trips on a tunneled link: the
+    # feature-row gather program, the y_q transfer, the method program, the
+    # accuracy program, and the compaction-count program (~25 ms RTT floor
+    # each on the axon tunnel). run_task_fused folds ALL of them into one
+    # jitted program whose only per-batch input is the [n_task, n_query]
+    # int32 index matrix — the feature/label tables cross the link once per
+    # evaluation. Results are identical to run_task (same traced
+    # computations, same dtypes); only the dispatch count changes.
+    def run_task_fused(self, features_dev, labels_dev, idx, shot=None,
+                       text_features=None):
+        """One-dispatch batch: on-device gather + method + accuracy.
+
+        ``features_dev``/``labels_dev``: device-resident feature table
+        [M, d] and labels [M]; ``idx``: host [n_task, n_query] int row
+        indices. Returns a :class:`DeferredTaskResult` (same contract as
+        ``run_task_deferred``) or ``None`` when the configuration needs a
+        host step per batch (task chunking, host prototypes/matching).
+        """
+        cfg = self.args
+        if int(cfg.get("task_chunk", 0) or 0) > 0:
+            return None
+        graph_matching = bool(cfg.get("graph_matching", False))
+        if self.acc_mode == "clustering":
+            if not bool(cfg.get("proto_device", True)):
+                return None
+            if graph_matching and _matching_backend(cfg) != "device":
+                return None
+
+        if text_features is None and not bool(cfg.use_softmax_feature):
+            return None     # visual-feature methods need the text prototypes
+        if getattr(self, "_fused_zs", None) is None:
+            self._build_fused_zs()
+        tf = (jnp.zeros((1, int(features_dev.shape[1])), jnp.float32)
+              if text_features is None
+              else jnp.asarray(text_features, jnp.float32))
+        out = self._fused_zs(
+            features_dev, labels_dev, jnp.asarray(idx, jnp.int32), tf
+        )
+        if out is None:
+            return None
+        handles, fallback, pend, n_task = out
+
+        if self.acc_mode == "clustering":
+            from ..ops.matching import hungarian_matching_rows
+
+            n_class = int(cfg.n_class)
+
+            def _finalize(host, elapsed_per_task):
+                acc, new_preds, ok_h, y_q, crit, n_ex, populated = host
+                if graph_matching and not bool(ok_h):
+                    # budget-exhausted auction: the big prototype rows are
+                    # only pulled from the device on this (rare) path
+                    preds_d, idx_d, probs_d = fallback
+                    new_preds = hungarian_matching_rows(
+                        np.asarray(preds_d), np.asarray(idx_d),
+                        np.asarray(probs_d), n_class,
+                    )
+                    acc = ((new_preds == np.asarray(y_q))
+                           .mean(axis=1, keepdims=True).astype(np.float32))
+                return self._deferred_logs(
+                    np.asarray(acc), new_preds, crit, n_ex, populated, pend,
+                    elapsed_per_task, n_task,
+                )
+        else:
+
+            def _finalize(host, elapsed_per_task):
+                acc, preds, _y_q, crit, n_ex, populated = host
+                return self._deferred_logs(
+                    np.asarray(acc), preds, crit, n_ex, populated, pend,
+                    elapsed_per_task, n_task,
+                )
+
+        return DeferredTaskResult(handles, _finalize)
+
+    def _build_fused_zs(self):
+        """Trace-and-cache the fused zero-shot program.
+
+        The method's ``_infer`` runs INSIDE the jit trace (its host-side
+        work — logging, config resolution — happens once at trace time;
+        one-time first-batch guards belong to the blocking batch 0, which
+        the evaluator always runs before any fused batch). The deferred
+        compaction check created during the trace carries traced scalars;
+        its host half (``pend``) is kept and fed the fetched value at
+        finalize time.
+        """
+        cfg = self.args
+        graph_matching = bool(cfg.get("graph_matching", False))
+        use_clustering = self.acc_mode == "clustering"
+        state = {}
+
+        @jax.jit
+        def program(feats, labs, idx, tf):
+            x_q = jnp.take(feats, idx, axis=0)              # [N, n, d]
+            y_q = jnp.take(labs, idx, axis=0).astype(jnp.int32)
+            task = {"x_q": x_q, "y_q": y_q, "text_features": tf}
+            self._pending_check = None
+            u, criterions, n_exec = split_infer_out(self._infer(task))
+            pend = self._pending_check
+            self._pending_check = None
+            state["pend"] = pend
+            populated = pend.populated if pend is not None else None
+            if use_clustering:
+                u_d, q_d, tf_d, use_softmax, R, _ = _accuracy_inputs(
+                    u, x_q, cfg, tf
+                )
+                acc, new_preds, ok, preds, row_idx, probs = _accuracy_device(
+                    u_d, q_d, y_q, jnp.float32(cfg.T), tf_d, use_softmax, R,
+                    graph_matching, _proto_select(cfg),
+                )
+                small = (acc, new_preds, ok, y_q, criterions, n_exec,
+                         populated)
+                return small, (preds, row_idx, probs)
+            acc, preds = _direct_accuracy_device(u, y_q)
+            return (acc, preds, y_q, criterions, n_exec, populated), ()
+
+        def runner(feats, labs, idx, tf):
+            try:
+                handles, fallback = program(feats, labs, idx, tf)
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError,
+                    jax.errors.TracerBoolConversionError):
+                # the method's _infer needs a concrete host step (e.g. a
+                # host-resident computation); the caller falls back to the
+                # per-program deferred path
+                return None
+            return handles, fallback, state.get("pend"), int(idx.shape[0])
+
+        self._fused_zs = runner
+
     def _deferred_logs(self, acc, preds, criterions, n_exec, populated,
                        pend, elapsed_per_task, n_task):
         if pend is not None:
@@ -743,6 +875,82 @@ class FewShotMethod(TransductiveMethod):
             "criterions": criterions,
             **timing_logs(elapsed, n_task, n_used),
         }
+
+    def run_task_fused(self, feats_s_dev, feats_q_dev, labels_s_dev,
+                       labels_q_dev, idx_s, idx_q, shot=None,
+                       text_features=None):
+        """One-dispatch few-shot batch: on-device gathers + the softmax
+        flip/column-reversal remap + method + argmax accuracy in a single
+        jitted program (see ``TransductiveMethod.run_task_fused``). Only
+        the two int32 index matrices cross the link per batch.
+        """
+        cfg = self.args
+        if int(cfg.get("task_chunk", 0) or 0) > 0:
+            return None
+        if getattr(self, "_fused_fs", None) is None:
+            self._build_fused_fs()
+        tf = (jnp.zeros((1, int(feats_q_dev.shape[1])), jnp.float32)
+              if text_features is None
+              else jnp.asarray(text_features, jnp.float32))
+        out = self._fused_fs(
+            feats_s_dev, feats_q_dev, labels_s_dev, labels_q_dev,
+            jnp.asarray(idx_s, jnp.int32), jnp.asarray(idx_q, jnp.int32), tf,
+        )
+        if out is None:
+            return None
+        handles, pend, n_task = out
+
+        def _finalize(host, elapsed_per_task):
+            acc, preds, crit, n_ex, populated = host
+            return self._deferred_logs(
+                np.asarray(acc), preds, crit, n_ex, populated, pend,
+                elapsed_per_task, n_task,
+            )
+
+        return DeferredTaskResult(handles, _finalize)
+
+    def _build_fused_fs(self):
+        cfg = self.args
+        flip = bool(cfg.use_softmax_feature)
+        n_class = int(cfg.n_class)
+        state = {}
+
+        @jax.jit
+        def program(feats_s, feats_q, labs_s, labs_q, idx_s, idx_q, tf):
+            x_s = jnp.take(feats_s, idx_s, axis=0)
+            x_q = jnp.take(feats_q, idx_q, axis=0)
+            y_s = jnp.take(labs_s, idx_s, axis=0).astype(jnp.int32)
+            y_q = jnp.take(labs_q, idx_q, axis=0).astype(jnp.int32)
+            if flip:
+                # the generator's flipped-unique label remap reduces to the
+                # constant flip + reversed feature columns when support
+                # covers {0..K-1} (the evaluator verifies that before
+                # enabling device_gather; reference:
+                # task_generator_few_shot.py:41-52)
+                x_s, x_q = x_s[..., ::-1], x_q[..., ::-1]
+                y_s = n_class - 1 - y_s
+                y_q = n_class - 1 - y_q
+            task = {"x_s": x_s, "x_q": x_q, "y_s": y_s, "y_q": y_q,
+                    "text_features": tf}
+            self._pending_check = None
+            u, criterions, n_exec = split_infer_out(self._infer(task))
+            pend = self._pending_check
+            self._pending_check = None
+            state["pend"] = pend
+            populated = pend.populated if pend is not None else None
+            acc, preds = _direct_accuracy_device(u, y_q)
+            return acc, preds, criterions, n_exec, populated
+
+        def runner(*args):
+            try:
+                handles = program(*args)
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError,
+                    jax.errors.TracerBoolConversionError):
+                return None
+            return handles, state.get("pend"), int(args[4].shape[0])
+
+        self._fused_fs = runner
 
     def run_task_deferred(self, task_dic, shot=None):
         """Few-shot deferred dispatch — see ``TransductiveMethod``'s.
