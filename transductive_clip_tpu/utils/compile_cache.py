@@ -11,6 +11,7 @@ flags (plus the hostname for readability).
 from __future__ import annotations
 
 import hashlib
+import os
 import platform
 import socket
 
@@ -50,6 +51,13 @@ def _cpu_fingerprint() -> str:
             bits.append(f.read().strip())
     except OSError:
         pass
+    # platform config: XLA:CPU target options (e.g. +prefer-no-scatter /
+    # +prefer-no-gather) differ between processes initialized with a device
+    # plugin (JAX_PLATFORMS=<plugin>) and pure-CPU processes on the SAME
+    # host+boot; sharing one cache dir across them produces feature-mismatch
+    # rejections at AOT load. Key the dir by the platform selection too.
+    bits.append(os.environ.get("JAX_PLATFORMS", ""))
+    bits.append(os.environ.get("JAX_PLATFORM_NAME", ""))
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:10]
 
 
