@@ -111,14 +111,29 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+    import traceback
+
+    # The tunneled TPU backend throws transient FAILED_PRECONDITION /
+    # UNAVAILABLE errors, and multi-minute outages have been observed; a
+    # bounded retry-with-backoff keeps driver runs alive without masking
+    # real failures (assertions = correctness regressions, never retried).
+    # Retries RE-EXEC the interpreter: a failed backend init is sticky
+    # within a process, so an in-process retry would be a no-op for the
+    # most common failure. Total budget ~8 minutes.
+    _DELAYS = [60, 120, 180, 120]
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
     try:
         main()
     except AssertionError:
         raise                      # real correctness regression: no retry
     except Exception:
-        # tunneled TPU backends occasionally throw transient
-        # FAILED_PRECONDITION errors; one retry keeps driver runs alive
-        import traceback
-
         traceback.print_exc()
-        main()
+        if attempt >= len(_DELAYS):
+            sys.exit(1)
+        print(f"bench attempt {attempt + 1} failed; retrying in "
+              f"{_DELAYS[attempt]}s", file=sys.stderr, flush=True)
+        time.sleep(_DELAYS[attempt])
+        env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)

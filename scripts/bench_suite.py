@@ -270,7 +270,20 @@ def main():
         idx_fixed = np.stack(list(SamplerQueryZeroShot(sampler)))
 
         method_f = get_zero_shot_method("EM_DIRICHLET", args=cfg_defer)
+        # blocking batch 0 first, exactly as the evaluator runs it: it
+        # consumes the one-time compact_first_iter guard, whose host
+        # comparison cannot execute inside the fused jit trace (there
+        # run_task_fused returns None and this row would crash)
+        method_f.run_task({
+            "x_q": _jnp.take(feats_dev, _jnp.asarray(idx_fixed), axis=0),
+            "y_q": table_labels[idx_fixed],
+        })
         res0 = method_f.run_task_fused(feats_dev, labels_dev, idx_fixed)
+        if res0 is None:
+            raise RuntimeError(
+                "run_task_fused unexpectedly fell back after the blocking "
+                "warmup batch — a host step remains inside the fused trace"
+            )
         _jax.device_get(res0.handles)              # compile/warmup
         t0 = time.perf_counter()
         pending = [

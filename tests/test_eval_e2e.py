@@ -285,3 +285,95 @@ def test_fused_dispatch_few_shot_matches_deferred_and_blocking(cfg_base, rng):
         assert abs(acc_fused - acc_defer) < 1e-7, method
         assert abs(acc_fused - acc_block) < 1e-7, method
         assert t_fused > 0
+
+
+def test_fused_and_flush_config_parsing():
+    """String config spellings from --opts must parse correctly:
+    fused_dispatch 'false' disables the fused path (bool('false') is True —
+    the raw-bool bug this pins), and the resolvers share semantics."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.eval.zero_shot import resolve_fused_dispatch
+
+    assert resolve_fused_dispatch(CfgNode({}), True) is True        # auto
+    assert resolve_fused_dispatch(CfgNode({}), False) is False
+    for spelling in ("false", "False", False):
+        cfg = CfgNode({"fused_dispatch": spelling})
+        assert resolve_fused_dispatch(cfg, True) is False, spelling
+    for spelling in ("true", "True", True):
+        cfg = CfgNode({"fused_dispatch": spelling})
+        assert resolve_fused_dispatch(cfg, True) is True, spelling
+        assert resolve_fused_dispatch(cfg, False) is False  # needs gather
+
+
+def test_defer_flush_batches_is_exact(cfg_base, rng):
+    """Flushing the deferred queue every batch must reproduce the
+    one-fetch-at-end evaluation exactly (same seed -> same tasks)."""
+    feats_q, labels_q = synth_features(rng)
+
+    def zs(flush):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                       number_tasks=8, batch_size=2, n_query=30, seed=17,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = True
+        cfg.matching_backend = "device"
+        cfg.defer_flush_batches = flush
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_end, _ = zs(0)
+    acc_every, _ = zs(1)
+    acc_two, _ = zs(2)
+    assert abs(acc_end - acc_every) < 1e-7
+    assert abs(acc_end - acc_two) < 1e-7
+
+
+def test_fused_fallback_recomputes_prototype_rows(cfg_base, rng, monkeypatch):
+    """When the device auction exhausts its budget (ok=False), the fused
+    path re-dispatches the cached program to pull the prototype rows and
+    host-solves the exact matching — the handles no longer pin the big
+    [N, R, C] buffers per batch. Forcing the auction to fail must still
+    give the host-JV answer."""
+    import transductive_clip_tpu.ops.auction as auction
+
+    feats_q, labels_q = synth_features(rng)
+
+    def zs(fused, backend, defer=True):
+        cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                       number_tasks=4, batch_size=2, n_query=30, seed=23,
+                       iter=6, iter_mm=100)
+        cfg.defer_fetch = defer
+        cfg.fused_dispatch = fused
+        cfg.matching_backend = backend
+        return EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+
+    acc_host, _ = zs(False, "host", defer=False)    # reference: host JV
+
+    real = auction.auction_assign
+
+    def failing_auction(probs, *a, **kw):
+        import jax.numpy as jnp
+
+        return jnp.full(real(probs, *a, **kw).shape, -1, jnp.int32)
+
+    monkeypatch.setattr(auction, "auction_assign", failing_auction)
+    acc_fused, _ = zs(True, "device")
+    assert abs(acc_fused - acc_host) < 1e-7
+
+
+def test_few_shot_fused_visual_features_need_text(cfg_base, rng):
+    """Visual-feature few-shot methods must refuse the fused path when no
+    text features are supplied (run_task raises there; planting zeros would
+    silently produce a uniform init)."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods import get_few_shot_method
+
+    cfg = cfg_base(dataset="eurosat", method="paddle", shots=2,
+                   number_tasks=2, batch_size=2, n_query=20, tunable=False)
+    cfg.use_softmax_feature = False
+    method = get_few_shot_method(cfg.name_method, args=cfg)
+    feats = jnp.zeros((40, 8), jnp.float32)
+    labs = jnp.zeros((40,), jnp.int32)
+    idx = np.zeros((2, 20), np.int32)
+    res = method.run_task_fused(feats, feats, labs, labs, idx, idx,
+                                shot=2, text_features=None)
+    assert res is None

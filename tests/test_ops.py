@@ -228,3 +228,43 @@ def test_device_rename_matches_scatter_matching_rows(rng):
     cols = np.asarray(jnp.argmax(probs, axis=-1))
     want = scatter_matching_rows(np.asarray(preds), np.asarray(idx), cols, K)
     np.testing.assert_array_equal(np.asarray(new_preds), want)
+
+
+def test_select_rows_covering_dense_guard(rng):
+    """select_rows_covering('rank') must fall back to top_k's selection
+    whenever some task has MORE than R populated rows (e.g. an early soft-EM
+    iteration whose softmax has not underflowed): unguarded rank selection
+    would keep the lowest-INDEXED rows and silently discard the heaviest
+    clusters. In the sparse regime the selected SET must match rank's exact
+    covering."""
+    import jax
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.ops.common import select_rows_covering
+
+    N, K, R = 4, 40, 12
+    # dense regime: every row carries mass, heaviest rows at HIGH indices
+    dense = rng.random((N, K)).astype(np.float32) + 0.1
+    dense[:, -R:] += 10.0
+    cnt, idx = map(np.asarray,
+                   select_rows_covering(jnp.asarray(dense), R, 0.0, "rank"))
+    tk_cnt, tk_idx = map(np.asarray, jax.lax.top_k(jnp.asarray(dense), R))
+    np.testing.assert_array_equal(idx, tk_idx)
+    np.testing.assert_array_equal(cnt, tk_cnt)
+
+    # sparse regime: <= R populated -> covering set, no sort
+    sparse = np.zeros((N, K), np.float32)
+    for t in range(N):
+        cl = rng.choice(K, rng.integers(1, R + 1), replace=False)
+        sparse[t, cl] = rng.integers(1, 9, cl.size)
+    cnt, idx = map(np.asarray,
+                   select_rows_covering(jnp.asarray(sparse), R, 0.0, "rank"))
+    for t in range(N):
+        assert len(set(idx[t])) == R
+        assert set(np.flatnonzero(sparse[t] > 0)) <= set(idx[t])
+        np.testing.assert_array_equal(cnt[t], sparse[t, idx[t]])
+
+    # 'topk' impl is exactly lax.top_k
+    cnt, idx = map(np.asarray,
+                   select_rows_covering(jnp.asarray(dense), R, 0.0, "topk"))
+    np.testing.assert_array_equal(idx, tk_idx)

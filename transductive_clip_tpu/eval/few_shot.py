@@ -181,9 +181,9 @@ class EvaluatorFewShot:
         # fused one-dispatch path (methods/base.py run_task_fused): per
         # batch only the two index matrices cross the link; gathers, the
         # flip remap, the method, and the accuracy run as one program
-        fused_cfg = args.get("fused_dispatch", "auto")
-        use_fused = (device_gather if str(fused_cfg).lower() == "auto"
-                     else bool(fused_cfg) and device_gather)
+        from .zero_shot import resolve_fused_dispatch
+
+        use_fused = resolve_fused_dispatch(args, device_gather)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
@@ -267,6 +267,20 @@ class EvaluatorFewShot:
 
         defer = resolve_defer_fetch(args, self.logger)
         deferred, t_tail0 = [], None
+        # bound pinned device memory (see eval/zero_shot.py): flush every
+        # ``defer_flush_batches`` deferred batches (0 = never)
+        flush_n = int(args.get("defer_flush_batches", 32) or 0)
+
+        def _flush_deferred():
+            nonlocal deferred, t_tail0
+            if flush_n and len(deferred) >= flush_n:
+                import time as _t
+
+                finalize_deferred(
+                    deferred, t_tail0, int(args.batch_size),
+                    results_task, results_time, timer,
+                )
+                deferred, t_tail0 = [], _t.perf_counter()
         try:
             with trace_if_requested(args.get("profile_dir")):
                 pending = pool.submit(make_batch) if prefetch else None
@@ -291,6 +305,7 @@ class EvaluatorFewShot:
                             )
                         if res is not None:
                             deferred.append(res)
+                            _flush_deferred()
                             continue
                         use_fused = False
                         self._log(
@@ -310,6 +325,7 @@ class EvaluatorFewShot:
                             )
                         if res is not None:
                             deferred.append(res)
+                            _flush_deferred()
                             continue
                         defer = False
                         self._log(

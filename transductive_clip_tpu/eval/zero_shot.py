@@ -88,6 +88,20 @@ def resolve_defer_fetch(args, logger=None):
     return on
 
 
+def resolve_fused_dispatch(args, device_gather):
+    """``fused_dispatch: auto`` (default) folds each batch's gather +
+    method + accuracy programs into ONE dispatch whenever the device-gather
+    path is active (methods/base.py ``run_task_fused``); ``True``/``False``
+    force it (still requires device_gather). Accepts the same string
+    spellings as ``resolve_defer_fetch`` — CLI ``--opts`` deliver flags as
+    strings, and ``bool('false')`` is True."""
+    val = args.get("fused_dispatch", "auto")
+    if isinstance(val, str) and val.lower() == "auto":
+        return device_gather
+    on = bool(val) if not isinstance(val, str) else val.lower() == "true"
+    return on and device_gather
+
+
 def finalize_deferred(deferred, t_tail0, batch_size, results_task,
                       results_time, timer=None):
     """Fetch every deferred batch's handles in ONE transfer and append their
@@ -202,9 +216,7 @@ class EvaluatorZeroShot:
         # engages with defer_fetch + device_gather. 'auto' = on (falls back
         # per-method when a host step is needed); False = per-program
         # deferred dispatch.
-        fused_cfg = args.get("fused_dispatch", "auto")
-        use_fused = (device_gather if str(fused_cfg).lower() == "auto"
-                     else bool(fused_cfg) and device_gather)
+        use_fused = resolve_fused_dispatch(args, device_gather)
 
         results_task, results_time = [], []
         n_batches = int(args.number_tasks / args.batch_size)
@@ -218,6 +230,22 @@ class EvaluatorZeroShot:
         sampler.create_list_classes(labels)
         defer = resolve_defer_fetch(args, self.logger)
         deferred, t_tail0 = [], None
+        # bound pinned device memory: every deferred batch's handles keep
+        # their buffers alive until fetched; flushing every
+        # ``defer_flush_batches`` batches caps that at a constant while
+        # still amortizing the fetch RTT across the window (0 = never)
+        flush_n = int(args.get("defer_flush_batches", 32) or 0)
+
+        def _flush_deferred():
+            nonlocal deferred, t_tail0
+            if flush_n and len(deferred) >= flush_n:
+                import time as _t
+
+                finalize_deferred(
+                    deferred, t_tail0, int(args.batch_size),
+                    results_task, results_time, timer,
+                )
+                deferred, t_tail0 = [], _t.perf_counter()
         with trace_if_requested(args.get("profile_dir")):
             for b in range(n_batches):
                 with timer.phase("sampling"):
@@ -234,6 +262,7 @@ class EvaluatorZeroShot:
                         )
                     if res is not None:
                         deferred.append(res)
+                        _flush_deferred()
                         continue
                     use_fused = False
                     self._log(
@@ -270,6 +299,7 @@ class EvaluatorZeroShot:
                         res = method.run_task_deferred(tasks)
                     if res is not None:
                         deferred.append(res)
+                        _flush_deferred()
                         continue
                     defer = False
                     self._log(

@@ -45,19 +45,25 @@ def init_soft_assignments(query, cfg, text_features=None):
 from functools import partial
 
 
+def _select_impl(cfg, key):
+    """Shared validate-and-resolve for the row-selection knobs ('auto' ->
+    'topk'; 'rank' = the sort-free selection)."""
+    v = str(cfg.get(key, "auto"))
+    if v == "auto":
+        return "topk"
+    if v not in ("topk", "rank"):
+        raise ValueError(
+            f"unknown {key} {v!r}; expected 'auto', 'topk' or 'rank'"
+        )
+    return v
+
+
 def _proto_select(cfg):
     """Row-selection implementation for the device accuracy path:
     'topk' (sort-based) or 'rank' (sort-free cumsum selection — same row
     set with distinct indices, see `_rank_select_rows`). 'auto' currently
     resolves to 'topk'."""
-    v = str(cfg.get("proto_select", "auto"))
-    if v == "auto":
-        return "topk"
-    if v not in ("topk", "rank"):
-        raise ValueError(
-            f"unknown proto_select {v!r}; expected 'auto', 'topk' or 'rank'"
-        )
-    return v
+    return _select_impl(cfg, "proto_select")
 
 
 def compact_select_impl(cfg):
@@ -68,14 +74,7 @@ def compact_select_impl(cfg):
     'auto' currently resolves to 'topk' (measured equal-or-faster on the
     tunneled v5e; the knob exists because the winner is shape- and
     backend-dependent)."""
-    v = str(cfg.get("compact_select", "auto"))
-    if v == "auto":
-        return "topk"
-    if v not in ("topk", "rank"):
-        raise ValueError(
-            f"unknown compact_select {v!r}; expected 'auto', 'topk' or 'rank'"
-        )
-    return v
+    return _select_impl(cfg, "compact_select")
 
 
 def _matching_backend(cfg):
@@ -688,6 +687,23 @@ class TransductiveMethod:
     # int32 index matrix — the feature/label tables cross the link once per
     # evaluation. Results are identical to run_task (same traced
     # computations, same dtypes); only the dispatch count changes.
+    def _tf_device(self, text_features, d):
+        """Device-resident text features for the fused paths, uploaded ONCE
+        per distinct host array: the fused program's only per-batch input
+        must stay the small idx matrix, and ``jnp.asarray`` on a host array
+        re-ships the full [n_class, d] matrix every call (~4 MB/batch at
+        CLIP/ImageNet scale over the tunneled link). Identity-keyed; the
+        cache holds a reference to the host array so its id can't be
+        recycled."""
+        if text_features is None:
+            return jnp.zeros((1, int(d)), jnp.float32)
+        cached = getattr(self, "_tf_dev_cache", None)
+        if cached is not None and cached[0] is text_features:
+            return cached[1]
+        tf = jnp.asarray(text_features, jnp.float32)
+        self._tf_dev_cache = (text_features, tf)
+        return tf
+
     def run_task_fused(self, features_dev, labels_dev, idx, shot=None,
                        text_features=None):
         """One-dispatch batch: on-device gather + method + accuracy.
@@ -712,15 +728,19 @@ class TransductiveMethod:
             return None     # visual-feature methods need the text prototypes
         if getattr(self, "_fused_zs", None) is None:
             self._build_fused_zs()
-        tf = (jnp.zeros((1, int(features_dev.shape[1])), jnp.float32)
-              if text_features is None
-              else jnp.asarray(text_features, jnp.float32))
-        out = self._fused_zs(
-            features_dev, labels_dev, jnp.asarray(idx, jnp.int32), tf
-        )
+        tf = self._tf_device(text_features, features_dev.shape[1])
+        idx_dev = jnp.asarray(idx, jnp.int32)
+        out = self._fused_zs(features_dev, labels_dev, idx_dev, tf)
         if out is None:
             return None
         handles, fallback, pend, n_task = out
+        # do NOT hold the fallback triple: probs is [N, R, C] (~35 MB/batch
+        # at the ImageNet protocol), and a deferred evaluation holds every
+        # batch's handles until the single end fetch — pinning GBs of HBM
+        # for buffers only the rare budget-exhausted auction reads. The
+        # fused program is a pure function of (table, idx, tf), all of
+        # which stay alive anyway, so the fallback recomputes it instead.
+        del fallback
 
         if self.acc_mode == "clustering":
             from ..ops.matching import hungarian_matching_rows
@@ -730,9 +750,14 @@ class TransductiveMethod:
             def _finalize(host, elapsed_per_task):
                 acc, new_preds, ok_h, y_q, crit, n_ex, populated = host
                 if graph_matching and not bool(ok_h):
-                    # budget-exhausted auction: the big prototype rows are
-                    # only pulled from the device on this (rare) path
-                    preds_d, idx_d, probs_d = fallback
+                    # budget-exhausted auction: re-dispatch the (cached)
+                    # fused program and pull the big prototype rows only on
+                    # this rare path — one extra program call per
+                    # fallback batch, no per-batch HBM pinning
+                    _, fb, _, _ = self._fused_zs(
+                        features_dev, labels_dev, idx_dev, tf
+                    )
+                    preds_d, idx_d, probs_d = fb
                     new_preds = hungarian_matching_rows(
                         np.asarray(preds_d), np.asarray(idx_d),
                         np.asarray(probs_d), n_class,
@@ -887,11 +912,14 @@ class FewShotMethod(TransductiveMethod):
         cfg = self.args
         if int(cfg.get("task_chunk", 0) or 0) > 0:
             return None
+        if text_features is None and not bool(cfg.use_softmax_feature):
+            # visual-feature methods need the text prototypes; planting a
+            # zeros placeholder would silently produce a uniform init where
+            # run_task raises (init_soft_assignments's guard)
+            return None
         if getattr(self, "_fused_fs", None) is None:
             self._build_fused_fs()
-        tf = (jnp.zeros((1, int(feats_q_dev.shape[1])), jnp.float32)
-              if text_features is None
-              else jnp.asarray(text_features, jnp.float32))
+        tf = self._tf_device(text_features, feats_q_dev.shape[1])
         out = self._fused_fs(
             feats_s_dev, feats_q_dev, labels_s_dev, labels_q_dev,
             jnp.asarray(idx_s, jnp.int32), jnp.asarray(idx_q, jnp.int32), tf,

@@ -108,18 +108,17 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
 
     def step_compact(u, alpha_old, l12, l3):
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
-        if select == "rank":
-            # sort-free covering selection; thresh=0 matches this module's
-            # populated predicate (u_sum > 0 / mass > 0 below). Same
-            # selected set whenever <= n_compact clusters carry query mass
-            # (the regime where compaction is exact), and the fast-tier
-            # gate only fires when all populated rows fit in n_fast, which
-            # populated-first ordering preserves.
-            from ...ops.common import rank_select_rows
+        # 'rank' = sort-free covering selection, self-guarded: a lax.cond
+        # falls back to top_k in-trace whenever more than n_compact rows
+        # carry query mass (e.g. an early soft-EM iteration whose softmax
+        # has not underflowed yet — rank would keep the lowest-INDEXED
+        # rows there). thresh=0 matches this module's populated predicate
+        # (u_sum > 0 / mass > 0 below); the fast-tier gate only fires when
+        # all populated rows fit in n_fast, which populated-first ordering
+        # preserves (ops.common.select_rows_covering).
+        from ...ops.common import select_rows_covering
 
-            mass, idx, _ = rank_select_rows(u_sum, n_compact, thresh=0.0)
-        else:
-            mass, idx = jax.lax.top_k(u_sum, n_compact)           # [N, C]
+        mass, idx = select_rows_covering(u_sum, n_compact, 0.0, select)
         u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)
         query_stat_c = f32_einsum("tnc,tnd->tcd", u_c, log_q)
         supp_c = jnp.take_along_axis(supp_stat, idx[..., None], axis=1)

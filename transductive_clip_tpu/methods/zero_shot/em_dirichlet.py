@@ -121,18 +121,18 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     """
     n_task = u.shape[0]
     u_sum = jnp.sum(u, axis=1)                                    # [N, K]
-    if select == "rank":
-        # sort-free covering selection (ops.common.rank_select_rows): same
-        # selected set whenever <= n_compact clusters carry mass — exactly
-        # the regime where compaction itself is exact — and the fast-tier
-        # gate below only fires when ALL populated rows fit in n_fast, so
-        # populated-first ordering preserves its coverage guarantee too.
-        # thresh=EPS matches the ``populated`` predicate.
-        from ...ops.common import rank_select_rows
+    # 'rank' = sort-free covering selection, self-guarded: a lax.cond falls
+    # back to top_k in-trace whenever more than n_compact rows carry mass
+    # (rank would keep the lowest-INDEXED rows there; top_k keeps the
+    # heaviest). In the <= n_compact regime — exactly where compaction
+    # itself is exact — the selected SET matches top_k's, and the fast-tier
+    # gate below only fires when ALL populated rows fit in n_fast, so
+    # populated-first ordering preserves its coverage guarantee too.
+    # thresh=EPS matches the ``populated`` predicate
+    # (ops.common.select_rows_covering).
+    from ...ops.common import select_rows_covering
 
-        mass, idx, _ = rank_select_rows(u_sum, n_compact, thresh=EPS)
-    else:
-        mass, idx = jax.lax.top_k(u_sum, n_compact)               # [N, C]
+    mass, idx = select_rows_covering(u_sum, n_compact, EPS, select)
     u_c = jnp.take_along_axis(u, idx[:, None, :], axis=2)         # [N, n, C]
     num_c = f32_einsum("tnc,tnd->tcd", u_c, log_query)
     y_c, nonzero_c = clamped_cluster_means(num_c, mass, eps=EPS)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Matches the epsilon used throughout the reference methods
@@ -73,6 +74,36 @@ def rank_select_rows(counts, R, thresh=EPS):
     present = targets <= n_nz
     cnt = jnp.take_along_axis(counts, idx, axis=-1)
     return cnt, idx, present
+
+
+def select_rows_covering(counts, R, thresh, impl):
+    """Top-R row selection for the compact EM steps: ``impl='topk'`` is
+    ``lax.top_k`` (mass-ordered); ``impl='rank'`` is the sort-free
+    :func:`rank_select_rows`, SELF-GUARDED by a ``lax.cond`` that falls back
+    to ``top_k`` in-trace whenever some task has more than ``R`` populated
+    rows — the only regime where the two selections differ (rank keeps the
+    lowest-INDEXED populated rows there, which would silently discard the
+    heaviest clusters; top_k degrades gracefully by keeping the heaviest).
+    With the guard, 'rank' is exact wherever 'topk' is and never worse.
+
+    Returns (cnt [..., R], idx [..., R] int32).
+    """
+    if impl == "rank":
+        populated = jnp.sum(counts > thresh, axis=-1)
+
+        def _rank(c):
+            cnt, idx, _ = rank_select_rows(c, R, thresh=thresh)
+            return cnt, idx
+
+        def _topk(c):
+            cnt, idx = jax.lax.top_k(c, R)      # returns a [cnt, idx] list
+            return cnt, idx
+
+        return jax.lax.cond(
+            jnp.max(populated) <= R, _rank, _topk, counts,
+        )
+    cnt, idx = jax.lax.top_k(counts, R)
+    return cnt, idx
 
 
 def constrainer(mesh):
