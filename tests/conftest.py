@@ -23,6 +23,12 @@ def _needs_reexec():
     return (
         _WANT_FLAGS not in flags
         or os.environ.get("JAX_PLATFORM_NAME") != "cpu"
+        # the TPU plugin must not even REGISTER in the test interpreter:
+        # when the tunneled TPU is unreachable, plugin/backend init hangs
+        # indefinitely and wedges the whole (CPU-only) suite. sitecustomize
+        # only registers it when PALLAS_AXON_POOL_IPS is set, so the re-exec
+        # drops that variable.
+        or os.environ.get("PALLAS_AXON_POOL_IPS") is not None
     )
 
 
@@ -30,6 +36,8 @@ if _needs_reexec():
     env = dict(os.environ)
     env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _WANT_FLAGS).strip()
     env["JAX_PLATFORM_NAME"] = "cpu"  # the axon plugin ignores JAX_PLATFORMS
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # no TPU plugin in the suite
+    env.pop("JAX_PLATFORMS", None)          # may be pinned to 'axon'
     env["_TCLIP_TESTS_REEXECED"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 

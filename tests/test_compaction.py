@@ -256,8 +256,9 @@ def _fs_run(em_fs, x_s, y_s, x_q, lambd, **kw):
 def test_fs_fast_tier_equals_wide_tier(rng):
     """Few-shot two-tier compact solve: the fast tier must be bit-identical
     to the wide tier when the populated-count gate engages — zero-query-mass
-    rows are frozen at their support-anchored iteration-1 fixed point in
-    both tiers, so the wide tier's extra rows are exact no-ops."""
+    rows are frozen inside the solver and take the pure-support fixed point
+    (alpha_base) from the substitution in both tiers, so the wide tier's
+    extra rows are exact no-ops."""
     import transductive_clip_tpu.methods.few_shot.em_dirichlet as em_fs
     from transductive_clip_tpu.utils.synthetic import make_few_shot_tasks
 
@@ -345,6 +346,109 @@ def test_compact_select_rank_matches_topk(rng):
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(c_tk), np.asarray(c_rk),
                                    rtol=1e-3, atol=1e-9)
+
+
+def test_fs_compact_drained_rows_reach_support_fixed_point(rng):
+    """Few-shot compaction on near-flat query features: the reference
+    re-solves ALL K rows every iteration (few_shot/em_dirichlet.py:195-201),
+    so a row whose query mass drains to exact zero moves to the fixed point
+    of its pure-support statistics — NOT to a freeze at its iteration-1
+    value, which on flat features is strongly contaminated by the dense
+    initial u (softmax tails contribute ~n_query/K mass per row vs
+    y_s_sum = shots). The compact path must track that re-solve limit
+    (code-review r3 finding: the in-solver freeze pinned those rows at the
+    contaminated alpha, deviating from the reference in the default
+    config)."""
+    from transductive_clip_tpu.methods.few_shot.em_dirichlet import (
+        em_dirichlet_fs_infer,
+    )
+
+    n_task, K, shots, n = 3, 300, 1, 25
+    ys = np.tile(np.repeat(np.arange(K), shots), (n_task, 1))
+
+    def feats(labels, conc):
+        out = np.zeros((*labels.shape, K), np.float32)
+        for t in range(labels.shape[0]):
+            for i, c in enumerate(labels[t]):
+                a = np.ones(K)
+                a[c] += conc
+                out[t, i] = rng.dirichlet(a)
+        return out
+
+    yq = rng.integers(0, 8, (n_task, n))
+    xq = feats(yq, 5.0)            # near-flat: heavy iteration-1 contamination
+    lambd = float(int(K / 5) * n)
+    # shots=2: the pure-support Dirichlet MLE is finite, so the full path's
+    # drained rows settle at the fixed point and the criterion trace must
+    # match (pre-fix code deviated 2-4x from iteration 2 on). shots=1 is
+    # the degenerate case: a single-sample Dirichlet MLE DIVERGES, the
+    # reference's drained rows creep toward infinite concentration by one
+    # capped inner-solver budget per outer iteration, and only predictions
+    # (saturated u) are comparable — the compact path applies exactly one
+    # solve's worth (alpha_base) instead of re-creeping every iteration.
+    for shots, check_crit in ((2, True), (1, False)):
+        ys_s = np.tile(np.repeat(np.arange(K), shots), (n_task, 1))
+        xs = feats(ys_s, 80.0)
+        for hard in (False, True):
+            kw = dict(n_iter=8, iter_mm=300, n_class=K, hard=hard,
+                      solver="minka", early_stop=False)
+            u_full, c_full = em_dirichlet_fs_infer(
+                jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys_s),
+                jnp.float32(lambd), compact=False, **kw)
+            u_comp, c_comp = em_dirichlet_fs_infer(
+                jnp.asarray(xs), jnp.asarray(xq), jnp.asarray(ys_s),
+                jnp.float32(lambd), compact=True, **kw)
+            msg = f"shots={shots} hard={hard}"
+            np.testing.assert_array_equal(
+                np.asarray(u_full).argmax(-1), np.asarray(u_comp).argmax(-1),
+                err_msg=msg,
+            )
+            np.testing.assert_allclose(np.asarray(u_full),
+                                       np.asarray(u_comp), atol=2e-3,
+                                       err_msg=msg)
+            if check_crit:
+                # the criterion must account for the drained-row
+                # transitions too (atol = solver-stop noise floor)
+                np.testing.assert_allclose(np.asarray(c_full),
+                                           np.asarray(c_comp),
+                                           rtol=1e-4, atol=1e-6,
+                                           err_msg=msg)
+
+
+def test_two_tier_never_mixes_solver_families(rng):
+    """With solver='pallas' and n_compact above the Pallas row cap, BOTH
+    tiers of the compact solve must resolve to the same (XLA Newton) solver
+    — results bit-identical to solver='minka' — instead of a data-dependent
+    mix of the Pallas kernel (fast tier) and the XLA solver (wide tier)
+    that agree only to tolerance (code-review r3 finding)."""
+    from transductive_clip_tpu.ops.dirichlet import (
+        _PALLAS_SOLVER_MAX_ROWS,
+        resolve_solver_for_width,
+    )
+
+    assert resolve_solver_for_width("pallas", _PALLAS_SOLVER_MAX_ROWS) == "pallas"
+    assert resolve_solver_for_width(
+        "pallas", _PALLAS_SOLVER_MAX_ROWS + 1) == "minka"
+    assert resolve_solver_for_width(
+        "minka", _PALLAS_SOLVER_MAX_ROWS + 1) == "minka"
+
+    # n_query=260 -> n_compact=276 > 256: every solve (full-width iteration 1,
+    # wide tier, fast tier) resolves to the XLA Newton path, so the whole
+    # program must match solver='minka' exactly
+    n_query, n_class = 260, 600
+    x, _ = make_simplex_tasks(
+        rng, n_task=2, n_query=n_query, n_class=n_class, k_eff=6,
+        concentration=60.0
+    )
+    lambd = float(int(n_class / 5) * n_query)
+    kw = dict(n_iter=3, iter_mm=100, hard=True, compact=True,
+              compact_first=True, early_stop=False)
+    u_p, c_p = em_dirichlet_infer(
+        jnp.asarray(x), jnp.float32(lambd), solver="pallas", **kw)
+    u_m, c_m = em_dirichlet_infer(
+        jnp.asarray(x), jnp.float32(lambd), solver="minka", **kw)
+    np.testing.assert_array_equal(np.asarray(u_p), np.asarray(u_m))
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_m))
 
 
 def test_fs_compact_select_rank_matches_topk(rng):

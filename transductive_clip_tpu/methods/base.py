@@ -309,18 +309,11 @@ def _warn_compaction(populated, n_compact, logger=None):
 
 
 def check_compaction_validity(u, n_compact, logger=None, eps=EPS):
-    """Post-hoc guard for cluster compaction: if more clusters carry mass in
-    the final assignments than the compacted solver re-solves, the
-    approximation may have engaged; advise the exact path. The count reduces
-    on device — only a scalar crosses to the host (u is ~30 MB at ImageNet
-    scale and the transfer link may be slow)."""
-    if hasattr(u, "devices"):
-        populated = int(_max_populated_clusters(u, eps))
-    else:
-        u_sum = np.asarray(u).sum(axis=1)
-        populated = int((u_sum > eps).sum(axis=-1).max())
-    _warn_compaction(populated, n_compact, logger)
-    return populated
+    """Blocking form of ``PendingCompactionCheck`` (kept as the simple entry
+    point for scripts/tests): post-hoc guard for cluster compaction — if more
+    clusters carry mass in the final assignments than the compacted solver
+    re-solves, the approximation may have engaged; advise the exact path."""
+    return PendingCompactionCheck(u, n_compact, logger=logger, eps=eps).finish()
 
 
 class PendingCompactionCheck:

@@ -10,19 +10,38 @@ TPU optimizations (results preserved; see tests/test_compaction.py):
 
 * cluster compaction — from the second EM iteration on, the query soft
   assignments typically underflow to exact zeros outside ~n_query classes,
-  so y_cst of every other class row is constant (pure support statistics)
-  and its alpha is already the fixed point from iteration 1. Only the top-C
-  rows by query mass are re-solved each iteration (C = n_query + margin);
-  a post-run sparsity check warns if more clusters carried mass. At the
-  Table-2 ImageNet protocol this removes ~92% of the per-iteration solver
-  work (set ``compact_clusters: False`` for the guaranteed-exact path).
-  Zero-query-mass rows inside the compact set are frozen too (their y is
-  pure support statistics, constant since iteration 1), matching the
-  outside-set freeze.
+  so y_cst of every other class row reduces to the constant pure-support
+  statistics supp/y_s_sum. The reference re-solves ALL K rows every
+  iteration (few_shot/em_dirichlet.py:195-201 — unlike the zero-shot
+  variant it has no empty-cluster guard, the support mass keeps every
+  denominator positive), sending each zero-query-mass row to the
+  pure-support fixed point of its row. The compact path reproduces that
+  limit exactly: ``alpha_base`` — the pure-support fixed point, solved ONCE
+  full-width right after iteration 1, warm-started from iteration 1's
+  alpha exactly like the reference's iteration-2 solve — is substituted
+  for every zero-mass row (selected or not), while only the top-C rows by
+  query mass (C = n_query + margin) run the per-iteration solver. Rows
+  whose query mass later drains to zero transition to ``alpha_base`` the
+  moment they leave the populated set (the in-loop step tracks the
+  previously-selected rows for this). A post-run sparsity check warns if
+  more than C clusters carried mass. One documented limit: at shots=1 the
+  single-sample Dirichlet MLE diverges, so the reference's drained rows
+  have no fixed point — they creep toward infinite concentration by one
+  capped inner-solver budget per outer iteration. ``alpha_base`` applies
+  exactly one solve's worth of that creep; predictions are unaffected (the
+  creep only further suppresses already-suppressed absent classes;
+  equality verified in tests/test_compaction.py) but the recorded
+  criterion trace excludes the reference's repeated-creep contribution in
+  that degenerate case. For shots >= 2 the fixed point is finite and the
+  criterion trace matches the full path to solver-stop noise. At the Table-2 ImageNet protocol this
+  removes ~92% of the per-iteration solver work (set
+  ``compact_clusters: False`` for the guaranteed-exact path).
 * two-tier solve width: gated exactly on the per-task populated-cluster
   count, the per-iteration solve drops from n_query+margin rows to 32 once
   assignments concentrate (<= k_eff clusters at the protocol) — bit-exact
-  by the freeze above (tests/test_compaction.py::test_fs_fast_tier*).
+  because zero-mass rows are frozen inside the solver and take
+  ``alpha_base`` from the substitution either way
+  (tests/test_compaction.py::test_fs_fast_tier*).
 * outer-loop early stopping gated on the per-task max relative alpha change.
 """
 
@@ -105,8 +124,20 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         return u, alpha, l12, l3
 
     n_fast = min(_COMPACT_FAST, n_compact)
+    # resolve the solver family ONCE at the widest (n_compact) width so the
+    # fast/wide lax.cond below can never mix two solver families
+    # (ops.dirichlet.resolve_solver_for_width)
+    from ...ops.dirichlet import resolve_solver_for_width
 
-    def step_compact(u, alpha_old, l12, l3):
+    solver_c = resolve_solver_for_width(solver, n_compact)
+
+    def compact_rows(u, alpha_old, alpha_base):
+        """Select the top-C rows by query mass, solve the populated ones,
+        and substitute the pure-support fixed point for zero-mass rows.
+
+        Returns (idx, alpha_c, alpha_c_old): the selected row indices, their
+        new values, and their previous values (for criterion accounting).
+        """
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
         # 'rank' = sort-free covering selection, self-guarded: a lax.cond
         # falls back to top_k in-trace whenever more than n_compact rows
@@ -128,17 +159,14 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
         row_mask = mass > 0                                       # [N, C]
 
-        # zero-query-mass rows have constant y (pure support stats) and sit
-        # at their iteration-1 fixed point already — the solver freezes
-        # them at alpha_c_old and excludes them from its convergence
-        # criterion (matching the freeze applied to rows OUTSIDE the
-        # compact set). The two-tier solve below is therefore exact: the
-        # gathers/einsums always run at n_compact width (fixed contraction
-        # width -> tier-independent bits), and only the solve — the
-        # dominant cost — drops to the first n_fast (top-mass) rows when
-        # every task's populated count fits.
+        # The solver freezes zero-mass rows (and excludes them from its
+        # convergence criterion) so the two-tier gate below is bit-exact:
+        # the gathers/einsums always run at n_compact width (fixed
+        # contraction width -> tier-independent bits), and only the solve —
+        # the dominant cost — drops to the first n_fast (top-mass) rows
+        # when every task's populated count fits.
         def solve(a_old, y, m):
-            return update_alpha(a_old, y, iter_mm=iter_mm, solver=solver,
+            return update_alpha(a_old, y, iter_mm=iter_mm, solver=solver_c,
                                 mesh=mesh, row_mask=m)
 
         if n_fast >= n_compact:
@@ -155,23 +183,57 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
                 jnp.max(populated) <= n_fast, fast,
                 lambda ops: solve(*ops), (alpha_c_old, y_c, row_mask),
             )
-        alpha_c = jnp.where(row_mask[..., None], alpha_c, alpha_c_old)
-        alpha = alpha_old.at[jnp.arange(n_task)[:, None], idx].set(alpha_c)
+        # zero-query-mass rows: y_c reduced to the pure support statistics,
+        # whose fixed point is alpha_base — substituting it reproduces the
+        # reference's re-solve of EVERY row each iteration
+        # (few_shot/em_dirichlet.py:195-201) without spending solver work
+        base_c = jnp.take_along_axis(alpha_base, idx[..., None], axis=1)
+        alpha_c = jnp.where(row_mask[..., None], alpha_c, base_c)
+        return idx, alpha_c, alpha_c_old
+
+    def step_compact(u, alpha_old, l12, l3, prev_idx, alpha_base):
+        idx, alpha_c, alpha_c_old = compact_rows(u, alpha_old, alpha_base)
+        # rows selected last iteration but not now carry zero query mass
+        # (covering selection keeps every populated row in-set), so the
+        # reference's re-solve sends them to alpha_base too; rows never
+        # selected already hold alpha_base by induction (transition_step)
+        base_prev = jnp.take_along_axis(alpha_base, prev_idx[..., None],
+                                        axis=1)
+        a_prev = jnp.take_along_axis(alpha_old, prev_idx[..., None], axis=1)
+        notin = jnp.all(prev_idx[..., None] != idx[:, None, :], axis=-1)
+        tidx = jnp.arange(n_task)[:, None]
+        # transitions first, current rows second: rows in both sets take
+        # alpha_c (chained .at[].set applies in order)
+        alpha = alpha_old.at[tidx, prev_idx].set(base_prev)
+        alpha = alpha.at[tidx, idx].set(alpha_c)
         alpha = con(alpha, "dp", None, "tp")
-        # compact-row criterion ingredients (alpha changed nowhere else);
-        # also frees XLA to scatter into alpha in place — the full-width
-        # criterion kept alpha_old alive and forced a [N, K, K] copy
-        diff_ss = jnp.sum((alpha_c - alpha_c_old) ** 2, axis=(1, 2))
-        # elementwise difference BEFORE the reduction: restored rows are
+        # criterion ingredients from the changed rows only: the selected
+        # rows plus the deselected (transitioned) rows — alpha changed
+        # nowhere else. Keeping the reductions compact also frees XLA to
+        # scatter into alpha in place (a full-width criterion would keep
+        # alpha_old alive and force a [N, K, K] copy). notin masks the
+        # prev-rows also selected now, which alpha_c already accounts for.
+        trans = jnp.where(notin[..., None], base_prev - a_prev, 0.0)
+        diff_ss = (jnp.sum((alpha_c - alpha_c_old) ** 2, axis=(1, 2))
+                   + jnp.sum(trans * trans, axis=(1, 2)))
+        # elementwise difference BEFORE the reduction: unchanged rows are
         # exact zeros, so the sum is bit-identical for any solve-tier width
-        delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
-        # incremental logits-cache update at the changed rows only (same
-        # trick as the zero-shot path; values identical, ~K/C less work)
-        l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_q,
-                                           row_mask=mass > 0)
+        delta_ss = (jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
+                    + jnp.sum(jnp.where(notin[..., None],
+                                        base_prev ** 2 - a_prev ** 2, 0.0),
+                              axis=(1, 2)))
+        # one combined incremental cache update: transitioned rows take the
+        # base values, selected rows their new alpha (the notin mask kills
+        # the duplicate prev-entries of rows also selected now)
+        idx_all = jnp.concatenate([prev_idx, idx], axis=1)
+        alpha_all = jnp.concatenate([base_prev, alpha_c], axis=1)
+        mask_all = jnp.concatenate(
+            [notin, jnp.ones(idx.shape, bool)], axis=1)
+        l12, l3 = update_logits_cache_rows(l12, l3, idx_all, alpha_all,
+                                           log_q, row_mask=mask_all)
         l3 = con(l3, "dp", None, None)
         u = finish_step(u, l12, l3)
-        return u, alpha, l12, l3, diff_ss, delta_ss
+        return u, alpha, l12, l3, idx, diff_ss, delta_ss
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -184,27 +246,80 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         rel = jnp.sqrt(diff_ss) / jnp.sqrt(ss_before)
         return jnp.mean(rel), jnp.max(rel)
 
-    # iteration 1 always solves all K rows (every class carries support
-    # statistics, so all alpha rows get their support-anchored fixed point)
+    # iteration 1 always solves all K rows (every row's y blends support and
+    # dense-feature query statistics — reference: few_shot/em_dirichlet.py
+    # u init = deepcopy(query), so u_sum > 0 everywhere at iteration 1)
     u, alpha, l12, l3 = step_full(u0, alpha0)
     first_crit, first_max = crit_fn(alpha0, alpha)
-    # carried ||alpha||^2 for the compact criterion (one full read, once)
-    ss = (jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1) if use_compact
-          else jnp.zeros((n_task,), jnp.float32))
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
+    tidx = jnp.arange(n_task)[:, None]
+    idx_dummy = jnp.tile(jnp.arange(n_compact, dtype=jnp.int32)[None, :],
+                         (n_task, 1))
+
+    if use_compact:
+        # the pure-support fixed point: where the reference's per-iteration
+        # re-solve sends every zero-query-mass row once u underflows (y
+        # reduces to supp/y_s_sum). Solved once, full width, warm-started
+        # from iteration 1's alpha exactly like the reference's iteration-2
+        # solve (reference: few_shot/em_dirichlet.py:195-201).
+        y_pure = con(supp_stat / jnp.maximum(y_s_sum, EPS)[..., None],
+                     "dp", None, "tp")
+        alpha_base = update_alpha(alpha, y_pure, iter_mm=iter_mm,
+                                  solver=solver, mesh=mesh)
+        alpha_base = con(alpha_base, "dp", None, "tp")
+    else:
+        alpha_base = alpha  # unused; keeps the loop body traceable
+
+    def transition_step(ops):
+        """Iteration 2, peeled out of the loop: the first compact iteration,
+        where EVERY zero-mass row (typically K - k_eff of them) moves to the
+        pure-support fixed point — full-width bookkeeping, paid once."""
+        u, alpha1 = ops
+        idx, alpha_c, _ = compact_rows(u, alpha1, alpha_base)
+        alpha2 = alpha_base.at[tidx, idx].set(alpha_c)
+        alpha2 = con(alpha2, "dp", None, "tp")
+        crit, crit_max = crit_fn(alpha1, alpha2)
+        l12, l3 = dirichlet_logits_cache(log_q, alpha2)
+        l3 = con(l3, "dp", None, None)
+        u = finish_step(u, l12, l3)
+        ss = jnp.sum(alpha2.reshape(n_task, -1) ** 2, axis=-1)
+        crits = jnp.where(jnp.arange(n_iter) >= 1, crit, crits0)
+        return (u, alpha2, l12, l3, ss, idx, jnp.array(2, jnp.int32),
+                crits, crit_max)
+
+    if use_compact and n_iter > 1:
+        def skip2(ops):
+            # early stop fired after iteration 1 (first_max < tol): carry
+            # everything through unchanged; the while_loop below won't run
+            u, alpha1 = ops
+            ss = jnp.sum(alpha1.reshape(n_task, -1) ** 2, axis=-1)
+            return (u, alpha1, l12, l3, ss, idx_dummy,
+                    jnp.array(1, jnp.int32), crits0, first_max)
+
+        if early_stop:
+            carry0 = jax.lax.cond(first_max >= early_stop_tol,
+                                  transition_step, skip2, (u, alpha))
+        else:
+            carry0 = transition_step((u, alpha))
+    else:
+        ss = (jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1)
+              if use_compact else jnp.zeros((n_task,), jnp.float32))
+        carry0 = (u, alpha, l12, l3, ss, idx_dummy,
+                  jnp.array(1, jnp.int32), crits0, first_max)
 
     def body(carry):
-        u, alpha_old, l12, l3, ss, it, crits, _ = carry
+        u, alpha_old, l12, l3, ss, prev_idx, it, crits, _ = carry
         if use_compact:
-            u, alpha, l12, l3, diff_ss, delta_ss = step_compact(
-                u, alpha_old, l12, l3)
+            u, alpha, l12, l3, idx, diff_ss, delta_ss = step_compact(
+                u, alpha_old, l12, l3, prev_idx, alpha_base)
             crit, crit_max = crit_from_ss(diff_ss, ss)
             ss = ss + delta_ss
+            prev_idx = idx
         else:
             u, alpha, l12, l3 = step_full(u, alpha_old)
             crit, crit_max = crit_fn(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, alpha, l12, l3, ss, it + 1, crits, crit_max
+        return u, alpha, l12, l3, ss, prev_idx, it + 1, crits, crit_max
 
     def cond(carry):
         *_, it, _, crit_max = carry
@@ -213,9 +328,8 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, it, criterions, _ = jax.lax.while_loop(
-        cond, body,
-        (u, alpha, l12, l3, ss, jnp.array(1, jnp.int32), crits0, first_max),
+    u, _, _, _, _, _, it, criterions, _ = jax.lax.while_loop(
+        cond, body, carry0,
     )
     if return_n_iter:
         # executed outer-iteration count: makes the synthesized

@@ -139,6 +139,12 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     y_c = con(y_c, "dp", None, "tp")
     alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
     row_mask = nonzero_c[..., 0]                                  # [N, C]
+    # resolve the solver family ONCE at the widest (n_compact) width so the
+    # fast/wide lax.cond below can never mix two solver families
+    # (ops.dirichlet.resolve_solver_for_width)
+    from ...ops.dirichlet import resolve_solver_for_width
+
+    solver = resolve_solver_for_width(solver, n_compact)
 
     def solve(a_old, y, m):
         # empty rows are frozen at a_old inside the solver and excluded
@@ -178,9 +184,11 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     # exact zeros, so the sum is bit-identical for any solve-tier width
     delta_ss = jnp.sum(alpha_c ** 2 - alpha_c_old ** 2, axis=(1, 2))
 
-    # incremental logits-cache update at the changed rows only
+    # incremental logits-cache update at the changed rows only (same
+    # row_mask binding as the solver freeze — the two predicates must stay
+    # identical for the tier gate's bit-exactness argument)
     l12, l3 = update_logits_cache_rows(l12, l3, idx, alpha_c, log_query,
-                                       row_mask=nonzero_c[..., 0])
+                                       row_mask=row_mask)
     l3 = con(l3, "dp", None, None)
 
     u = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)

@@ -295,6 +295,34 @@ def _shard_map_rows(fn, alpha0, y_cst, mesh):
 _PALLAS_SOLVER_MAX_ROWS = 256
 
 
+def resolve_solver_for_width(solver: str, n_rows: int) -> str:
+    """The solver family ``update_alpha`` actually runs at this row count.
+
+    'pallas' solves wider than ``_PALLAS_SOLVER_MAX_ROWS`` reroute to the XLA
+    Newton-Minka path — the same stationary point the Pallas kernel iterates
+    toward. At [N, ~1000, 1000] the blocks stream through HBM either way, the
+    per-block early exit has nothing to cut, and XLA measures FASTER (6.4 vs
+    7.9 ms/task on the few-shot first full-width solve, tunneled v5e — before
+    the Newton acceleration on top). It also sidesteps a worker-process crash
+    observed when the full-width kernel is embedded in the EM program at some
+    task counts (N=20 reproducibly crashed the tunneled worker; N=24/100 and
+    the standalone kernel at N=20 ran fine — an opaque lowering fault the
+    compact widths have never exhibited).
+
+    The two-tier compact EM steps resolve ONCE at their widest (n_compact)
+    width and pass the resolved name to both tiers, so the ``lax.cond``
+    between tiers can never mix solver families — without this, a config with
+    solver='pallas' and n_compact > ``_PALLAS_SOLVER_MAX_ROWS`` would run the
+    Pallas kernel in the fast branch but the XLA solver in the wide branch,
+    making results a data-dependent mix of two iterations that agree only to
+    tolerance, violating the documented gate invariant (cost only, not
+    results).
+    """
+    if solver == "pallas" and n_rows > _PALLAS_SOLVER_MAX_ROWS:
+        return "minka"
+    return solver
+
+
 def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
                  mesh=None, row_mask=None):
     """Dispatch between the reference-exact MM solver (XLA or VMEM-resident
@@ -314,19 +342,9 @@ def update_alpha(alpha0, y_cst, iter_mm: int = 1000, solver: str = "mm",
     genuine y entries are weighted means of log-simplex values, always
     <= ~1e-15, so a positive value cannot occur naturally).
     """
-    if solver == "pallas" and alpha0.shape[-2] > _PALLAS_SOLVER_MAX_ROWS:
-        # Full-width solves route to the XLA Newton-Minka path — the same
-        # stationary point the Pallas kernel iterates toward. At
-        # [N, ~1000, 1000] the blocks stream through HBM either way, the
-        # per-block early exit has nothing to cut, and XLA measures FASTER
-        # (6.4 vs 7.9 ms/task on the few-shot first full-width solve,
-        # tunneled v5e — before the Newton acceleration on top). It also
-        # sidesteps a worker-process crash observed when the full-width
-        # kernel is embedded in the EM program at some task counts
-        # (N=20 reproducibly crashed the tunneled worker; N=24/100 and the
-        # standalone kernel at N=20 ran fine — an opaque lowering fault
-        # the compact widths have never exhibited).
-        return minka_newton_update_alpha(alpha0, y_cst, row_mask=row_mask)
+    # full-width 'pallas' solves reroute to the XLA Newton-Minka path
+    # (rationale on the helper)
+    solver = resolve_solver_for_width(solver, alpha0.shape[-2])
     if solver in ("pallas", "mm_pallas"):
         from functools import partial as _partial
 

@@ -40,17 +40,24 @@ def _cpu_fingerprint() -> str:
                     bits.append(line.strip())
     except OSError:
         pass
-    # boot id: this workspace's VM migrates between microarchitectures, and
-    # a migration-with-reboot can land on a host whose *virtualized* cpuinfo
-    # matches an earlier fingerprint while LLVM's cpuid-based detection
-    # differs (observed as cpu_aot_loader feature-mismatch rejections). A
-    # live migration under a running kernel can still slip through — XLA
-    # rejects those artifacts gracefully at load.
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            bits.append(f.read().strip())
-    except OSError:
-        pass
+    # boot id, for forced-CPU processes only: this workspace's VM migrates
+    # between microarchitectures, and a migration-with-reboot can land on a
+    # host whose *virtualized* cpuinfo matches an earlier fingerprint while
+    # LLVM's cpuid-based detection differs (observed as cpu_aot_loader
+    # feature-mismatch rejections). Only XLA:CPU AOT artifacts carry that
+    # hazard — TPU executables are device-keyed — so TPU-plugin processes
+    # keep their (expensive, minutes-of-warmup) cache across reboots rather
+    # than flushing it for a CPU-only failure mode. A live migration under a
+    # running kernel can still slip through either way — XLA rejects those
+    # artifacts gracefully at load.
+    platform_sel = (os.environ.get("JAX_PLATFORM_NAME", "")
+                    or os.environ.get("JAX_PLATFORMS", ""))
+    if platform_sel.strip().lower() == "cpu":
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                bits.append(f.read().strip())
+        except OSError:
+            pass
     # platform config: XLA:CPU target options (e.g. +prefer-no-scatter /
     # +prefer-no-gather) differ between processes initialized with a device
     # plugin (JAX_PLATFORMS=<plugin>) and pure-CPU processes on the SAME
