@@ -19,6 +19,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -106,7 +107,9 @@ def main():
                     "floor/exact-mode numbers: scripts/bench_suite.py"
                     + (f"; backend={jax.default_backend()}"
                        " (TPU unreachable, CPU fallback)"
-                       if jax.default_backend() != "tpu" else "")
+                       if os.environ.get("BENCH_CPU_FALLBACK") == "1"
+                       else (f"; backend={jax.default_backend()}"
+                             if jax.default_backend() != "tpu" else ""))
                 ),
             }
         )
@@ -130,22 +133,16 @@ if __name__ == "__main__":
     # Assertions = correctness regressions, never retried.
     _DELAYS = [60, 120, 180, 180, 120]
 
-    def _device_probe_ok(timeout_s: float = None) -> bool:
-        import subprocess
+    def _device_probe_ok() -> bool:
+        from transductive_clip_tpu.utils.backend_probe import (
+            backend_reachable,
+        )
 
-        if timeout_s is None:
-            timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                timeout=timeout_s, capture_output=True, text=True,
-            )
-            return out.returncode == 0
-        except subprocess.TimeoutExpired:
-            print("bench: device-init probe hung (backend unreachable)",
-                  file=sys.stderr, flush=True)
-            return False
+        if backend_reachable():
+            return True
+        print("bench: device-init probe hung/failed (backend unreachable)",
+              file=sys.stderr, flush=True)
+        return False
 
     def _retry_or_cpu_fallback(attempt: int):
         if attempt >= len(_DELAYS):

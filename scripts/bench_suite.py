@@ -465,24 +465,16 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-    import subprocess
-    import sys
-
     if os.environ.get("PALLAS_AXON_POOL_IPS"):
         # fail FAST when the tunneled TPU backend is unreachable: its init
         # hangs (not errors) in-process, so probe it in a bounded
         # subprocess first. No CPU fallback here — this suite exists to
         # measure the chip; silent CPU numbers would mislead.
-        try:
-            ok = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
-                capture_output=True,
-            ).returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
-        if not ok:
+        from transductive_clip_tpu.utils.backend_probe import (
+            backend_reachable,
+        )
+
+        if not backend_reachable():
             sys.exit("bench_suite: TPU backend unreachable (init probe "
                      "hung/failed); rerun when the tunnel is back, or force "
                      "CPU explicitly with JAX_PLATFORM_NAME=cpu and an "

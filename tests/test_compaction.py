@@ -415,6 +415,52 @@ def test_fs_compact_drained_rows_reach_support_fixed_point(rng):
                                            err_msg=msg)
 
 
+def test_fs_sparsity_warning_catches_intermediate_overflow(rng):
+    """The compaction sparsity warning must fire when an INTERMEDIATE
+    iteration's populated-cluster count exceeds the selection width, even
+    though the final assignments are sparse — a final-u-only check passes
+    silently in exactly the regime where compaction can deviate (flat
+    features: ~70-90 populated rows at iteration 2 vs 41 slots, collapsing
+    to ~10 by the last iteration)."""
+    import warnings
+
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_few_shot_method
+
+    n_task, K, shots, n = 3, 300, 2, 25
+    ys = np.tile(np.repeat(np.arange(K), shots), (n_task, 1))
+
+    def feats(labels, conc):
+        out = np.zeros((*labels.shape, K), np.float32)
+        for t in range(labels.shape[0]):
+            for i, c in enumerate(labels[t]):
+                a = np.ones(K)
+                a[c] += conc
+                out[t, i] = rng.dirichlet(a)
+        return out
+
+    xs = feats(ys, 80.0)
+    yq = rng.integers(0, 8, (n_task, n))
+    xq = feats(yq, 5.0)
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=K, num_classes_test=K,
+        n_query=n, k_eff=5, T=30, use_softmax_feature=True, shots=shots,
+        iter=8, iter_mm=300, dirichlet_solver="minka", early_stop=False,
+        compact_clusters=True,
+    ))
+    method = get_few_shot_method("EM_DIRICHLET", args=cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        logs = method.run_task(
+            {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=shots)
+    # final u is sparse (<= selection width) — the warning must come from
+    # the per-iteration max, not the final assignments
+    final_pop = int((logs["u"].sum(1) > 0).sum(-1).max()) \
+        if "u" in logs else None
+    assert any("clusters carry mass" in str(w.message) for w in caught), \
+        f"intermediate overflow not reported (final populated={final_pop})"
+
+
 def test_two_tier_never_mixes_solver_families(rng):
     """With solver='pallas' and n_compact above the Pallas row cap, BOTH
     tiers of the compact solve must resolve to the same (XLA Newton) solver

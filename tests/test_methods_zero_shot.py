@@ -129,7 +129,7 @@ def test_timing_logs_exact_under_early_stop(simplex_tasks):
     tol = 0.05
     kw = dict(n_iter=50, iter_mm=50, hard=False, solver="minka",
               compact=False, early_stop=True, early_stop_tol=jnp.float32(tol))
-    _, _, n_exec = em_dirichlet_infer(
+    _, _, n_exec, _pop = em_dirichlet_infer(
         jnp.asarray(x), jnp.float32(int(8 / 5) * x.shape[1]),
         return_n_iter=True, **kw,
     )

@@ -296,9 +296,10 @@ def _max_populated_clusters(u, eps):
 def _warn_compaction(populated, n_compact, logger=None):
     if populated > n_compact:
         msg = (
-            f"cluster compaction solved {n_compact} rows but {populated} "
-            "clusters carry mass; results may deviate from the exact path — "
-            "set compact_clusters False to verify"
+            f"cluster compaction solved {n_compact} rows but up to "
+            f"{populated} clusters carry mass at some iteration; results "
+            "may deviate from the exact path — set compact_clusters False "
+            "to verify"
         )
         if logger is not None:
             logger.warning(msg)
@@ -326,10 +327,17 @@ class PendingCompactionCheck:
     ``run_task`` ships the scalar with its one combined accuracy fetch and
     calls ``finish``."""
 
-    def __init__(self, u, n_compact, logger=None, eps=EPS):
+    def __init__(self, u=None, n_compact=None, logger=None, eps=EPS,
+                 populated=None):
+        """Either ``u`` (final assignments; the count reduces on device) or
+        ``populated`` (a precomputed count — e.g. the EM loop's max over
+        EVERY iteration's incoming populated count, which also catches
+        intermediate over-capacity iterations a final-u check would miss)."""
         self.n_compact = n_compact
         self.logger = logger
-        if hasattr(u, "devices"):
+        if populated is not None:
+            self.populated = populated       # device scalar or int
+        elif hasattr(u, "devices"):
             self.populated = _max_populated_clusters(u, eps)   # device scalar
         else:
             u_sum = np.asarray(u).sum(axis=1)

@@ -135,8 +135,11 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         """Select the top-C rows by query mass, solve the populated ones,
         and substitute the pure-support fixed point for zero-mass rows.
 
-        Returns (idx, alpha_c, alpha_c_old): the selected row indices, their
-        new values, and their previous values (for criterion accounting).
+        Returns (idx, alpha_c, alpha_c_old, pop): the selected row indices,
+        their new values, their previous values (for criterion accounting),
+        and the batch-max populated-cluster count (for the sparsity
+        warning — an iteration whose populated count exceeds the selection
+        width is where compaction can deviate).
         """
         u_sum = jnp.sum(u, axis=1)                                # [N, K]
         # 'rank' = sort-free covering selection, self-guarded: a lax.cond
@@ -158,6 +161,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         y_c = con(y_c, "dp", None, "tp")
         alpha_c_old = jnp.take_along_axis(alpha_old, idx[..., None], axis=1)
         row_mask = mass > 0                                       # [N, C]
+        populated = jnp.sum(u_sum > 0, axis=-1)                  # [N]
 
         # The solver freezes zero-mass rows (and excludes them from its
         # convergence criterion) so the two-tier gate below is bit-exact:
@@ -172,8 +176,6 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         if n_fast >= n_compact:
             alpha_c = solve(alpha_c_old, y_c, row_mask)
         else:
-            populated = jnp.sum(u_sum > 0, axis=-1)               # [N]
-
             def fast(ops):
                 a_old, y, m = ops
                 a = solve(a_old[:, :n_fast], y[:, :n_fast], m[:, :n_fast])
@@ -189,14 +191,21 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         # (few_shot/em_dirichlet.py:195-201) without spending solver work
         base_c = jnp.take_along_axis(alpha_base, idx[..., None], axis=1)
         alpha_c = jnp.where(row_mask[..., None], alpha_c, base_c)
-        return idx, alpha_c, alpha_c_old
+        return idx, alpha_c, alpha_c_old, jnp.max(populated)
 
     def step_compact(u, alpha_old, l12, l3, prev_idx, alpha_base):
-        idx, alpha_c, alpha_c_old = compact_rows(u, alpha_old, alpha_base)
-        # rows selected last iteration but not now carry zero query mass
-        # (covering selection keeps every populated row in-set), so the
-        # reference's re-solve sends them to alpha_base too; rows never
-        # selected already hold alpha_base by induction (transition_step)
+        idx, alpha_c, alpha_c_old, pop = compact_rows(u, alpha_old,
+                                                      alpha_base)
+        # rows selected last iteration but not now take alpha_base: in the
+        # covering regime they carry zero query mass and the reference's
+        # re-solve sends them exactly there; in the over-capacity corner
+        # (more populated rows than slots — reported by the pop_max
+        # sparsity warning) the displaced rows are the SMALLEST-mass ones,
+        # whose reference re-solve y is within O(mass) of the pure support
+        # statistics, so alpha_base is the closest cheap stand-in there
+        # too (measured ~1e-4 vs ~3e-2 for keeping the stale alpha). Rows
+        # never selected already hold alpha_base by induction
+        # (transition_step).
         base_prev = jnp.take_along_axis(alpha_base, prev_idx[..., None],
                                         axis=1)
         a_prev = jnp.take_along_axis(alpha_old, prev_idx[..., None], axis=1)
@@ -233,7 +242,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
                                            log_q, row_mask=mask_all)
         l3 = con(l3, "dp", None, None)
         u = finish_step(u, l12, l3)
-        return u, alpha, l12, l3, idx, diff_ss, delta_ss
+        return u, alpha, l12, l3, idx, diff_ss, delta_ss, pop
 
     def crit_fn(alpha_old, alpha):
         # (mean, max): mean recorded (reference parity), max gates early stop
@@ -275,7 +284,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         where EVERY zero-mass row (typically K - k_eff of them) moves to the
         pure-support fixed point — full-width bookkeeping, paid once."""
         u, alpha1 = ops
-        idx, alpha_c, _ = compact_rows(u, alpha1, alpha_base)
+        idx, alpha_c, _, pop = compact_rows(u, alpha1, alpha_base)
         alpha2 = alpha_base.at[tidx, idx].set(alpha_c)
         alpha2 = con(alpha2, "dp", None, "tp")
         crit, crit_max = crit_fn(alpha1, alpha2)
@@ -285,8 +294,9 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         ss = jnp.sum(alpha2.reshape(n_task, -1) ** 2, axis=-1)
         crits = jnp.where(jnp.arange(n_iter) >= 1, crit, crits0)
         return (u, alpha2, l12, l3, ss, idx, jnp.array(2, jnp.int32),
-                crits, crit_max)
+                crits, crit_max, pop)
 
+    pop0 = jnp.array(0, jnp.int32)
     if use_compact and n_iter > 1:
         def skip2(ops):
             # early stop fired after iteration 1 (first_max < tol): carry
@@ -294,7 +304,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             u, alpha1 = ops
             ss = jnp.sum(alpha1.reshape(n_task, -1) ** 2, axis=-1)
             return (u, alpha1, l12, l3, ss, idx_dummy,
-                    jnp.array(1, jnp.int32), crits0, first_max)
+                    jnp.array(1, jnp.int32), crits0, first_max, pop0)
 
         if early_stop:
             carry0 = jax.lax.cond(first_max >= early_stop_tol,
@@ -305,36 +315,42 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         ss = (jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1)
               if use_compact else jnp.zeros((n_task,), jnp.float32))
         carry0 = (u, alpha, l12, l3, ss, idx_dummy,
-                  jnp.array(1, jnp.int32), crits0, first_max)
+                  jnp.array(1, jnp.int32), crits0, first_max, pop0)
 
     def body(carry):
-        u, alpha_old, l12, l3, ss, prev_idx, it, crits, _ = carry
+        u, alpha_old, l12, l3, ss, prev_idx, it, crits, _, pop_max = carry
         if use_compact:
-            u, alpha, l12, l3, idx, diff_ss, delta_ss = step_compact(
+            u, alpha, l12, l3, idx, diff_ss, delta_ss, pop = step_compact(
                 u, alpha_old, l12, l3, prev_idx, alpha_base)
             crit, crit_max = crit_from_ss(diff_ss, ss)
             ss = ss + delta_ss
             prev_idx = idx
+            pop_max = jnp.maximum(pop_max, pop)
         else:
             u, alpha, l12, l3 = step_full(u, alpha_old)
             crit, crit_max = crit_fn(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, alpha, l12, l3, ss, prev_idx, it + 1, crits, crit_max
+        return (u, alpha, l12, l3, ss, prev_idx, it + 1, crits, crit_max,
+                pop_max)
 
     def cond(carry):
-        *_, it, _, crit_max = carry
+        *_, it, _, crit_max, _pop = carry
         not_done = it < n_iter
         if not early_stop:
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, _, it, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, _, _, it, criterions, _, pop_max = jax.lax.while_loop(
         cond, body, carry0,
     )
     if return_n_iter:
-        # executed outer-iteration count: makes the synthesized
-        # reference-semantics timing metric exact under early stopping
-        return u, criterions, it
+        # executed outer-iteration count (makes the synthesized
+        # reference-semantics timing metric exact under early stopping) and
+        # the max populated-cluster count any compact iteration consumed
+        # (feeds the sparsity warning — a FINAL-u check would miss an
+        # intermediate iteration whose populated count overflowed the
+        # selection width)
+        return u, criterions, it, pop_max
     return u, criterions
 
 
@@ -361,14 +377,18 @@ class EM_DIRICHLET(FewShotMethod):
 
         self.select = compact_select_impl(args)
 
-    def _check_compaction(self, u, n_query, n_class):
+    def _check_compaction(self, pop_max, n_query, n_class):
         if self.compact and n_class > 2 * (n_query + _COMPACT_MARGIN):
             from ..base import PendingCompactionCheck
 
             # deferred: run_task fetches the scalar with its one combined
-            # accuracy transfer instead of paying a round trip here
+            # accuracy transfer instead of paying a round trip here.
+            # pop_max is the max populated count over every compact
+            # iteration (not just the final u), so an intermediate
+            # over-capacity iteration cannot pass silently.
             self._pending_check = PendingCompactionCheck(
-                u, n_query + _COMPACT_MARGIN, logger=self.logger
+                populated=pop_max, n_compact=n_query + _COMPACT_MARGIN,
+                logger=self.logger,
             )
 
     def _infer(self, task):
@@ -381,7 +401,7 @@ class EM_DIRICHLET(FewShotMethod):
             f" ==> Executing few-shot {'HARD ' if self.hard else ''}EM-DIRICHLET "
             f"with LAMBDA = {self.lambd}"
         )
-        u, criterions, n_exec = em_dirichlet_fs_infer(
+        u, criterions, n_exec, pop_max = em_dirichlet_fs_infer(
             task["x_s"],
             task["x_q"],
             task["y_s"],
@@ -398,5 +418,6 @@ class EM_DIRICHLET(FewShotMethod):
             return_n_iter=True,
             select=self.select,
         )
-        self._check_compaction(u, task["x_q"].shape[1], task["x_q"].shape[2])
+        self._check_compaction(pop_max, task["x_q"].shape[1],
+                               task["x_q"].shape[2])
         return u, criterions, n_exec

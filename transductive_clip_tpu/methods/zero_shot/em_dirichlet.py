@@ -154,11 +154,10 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
         return update_alpha(a_old, y, iter_mm=iter_mm, solver=solver,
                             mesh=mesh, row_mask=m)
 
+    populated = jnp.sum(u_sum > EPS, axis=-1)                     # [N]
     if n_fast is None or n_fast >= n_compact:
         alpha_c = solve(alpha_c_old, y_c, row_mask)
     else:
-        populated = jnp.sum(u_sum > EPS, axis=-1)                 # [N]
-
         def fast(ops):
             a_old, y, m = ops
             a = solve(a_old[:, :n_fast], y[:, :n_fast], m[:, :n_fast])
@@ -192,7 +191,10 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
     l3 = con(l3, "dp", None, None)
 
     u = _finish(u, l12, l3, lambd, n_query, n_class, hard, con)
-    return u, alpha, l12, l3, diff_ss, delta_ss
+    # batch-max populated count this step consumed: feeds the sparsity
+    # warning so an intermediate over-capacity iteration cannot pass a
+    # final-u-only check silently
+    return u, alpha, l12, l3, diff_ss, delta_ss, jnp.max(populated)
 
 
 def _criterion(alpha_old, alpha):
@@ -266,6 +268,7 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
 
     alpha_old = alpha
     ss = jnp.full((n_task,), float(n_class) * n_class, jnp.float32)
+    pop_max0 = jnp.array(0, jnp.int32)
     if use_compact and compact_first:
         # Opt-in: iteration 1 compact too, via the analytic alpha = ones
         # logits cache (l3 = (a-1).log-x = 0, l12 = lgamma(K)); only the
@@ -286,7 +289,10 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         # is what makes compact_first prediction-identical at protocol
         # peaking. 'rank' only ever replaces the sort on the sparse
         # iterations (2+), where the selected SET is provably identical.
-        u, alpha, l12, l3, diff_ss, delta_ss = compact_step(
+        # Its populated count (= K by construction) is excluded from the
+        # sparsity warning: iteration-1 compaction is validated by the
+        # first-batch guard instead.
+        u, alpha, l12, l3, diff_ss, delta_ss, _pop1 = compact_step(
             u, alpha, l12, l3, step_select="topk"
         )
         # ||ones||^2 = K*K exactly; no full-tensor read anywhere
@@ -305,13 +311,14 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
-        u, alpha_old, l12, l3, ss, it, crits, _ = carry
+        u, alpha_old, l12, l3, ss, it, crits, _, pop_max = carry
         if use_compact:
-            u, alpha, l12, l3, diff_ss, delta_ss = compact_step(
+            u, alpha, l12, l3, diff_ss, delta_ss, pop = compact_step(
                 u, alpha_old, l12, l3
             )
             crit, crit_max = _criterion_from_ss(diff_ss, ss)
             ss = ss + delta_ss
+            pop_max = jnp.maximum(pop_max, pop)
         else:
             u, alpha, l12, l3 = _em_step_full(
                 u, alpha_old, log_query, lambd, n_query, n_class,
@@ -319,23 +326,27 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
             )
             crit, crit_max = _criterion(alpha_old, alpha)
         crits = jnp.where(jnp.arange(n_iter) >= it, crit, crits)
-        return u, alpha, l12, l3, ss, it + 1, crits, crit_max
+        return u, alpha, l12, l3, ss, it + 1, crits, crit_max, pop_max
 
     def cond(carry):
-        *_, it, _, crit_max = carry
+        *_, it, _, crit_max, _pop = carry
         not_done = it < n_iter
         if not early_stop:
             return not_done
         return jnp.logical_and(not_done, crit_max >= early_stop_tol)
 
-    u, _, _, _, _, it, criterions, _ = jax.lax.while_loop(
+    u, _, _, _, _, it, criterions, _, pop_max = jax.lax.while_loop(
         cond, body,
-        (u, alpha, l12, l3, ss, jnp.array(1, jnp.int32), crits0, first_max),
+        (u, alpha, l12, l3, ss, jnp.array(1, jnp.int32), crits0, first_max,
+         pop_max0),
     )
     if return_n_iter:
-        # executed outer-iteration count: makes the synthesized
-        # reference-semantics timing metric exact under early stopping
-        return u, criterions, it
+        # executed outer-iteration count (makes the synthesized
+        # reference-semantics timing metric exact under early stopping) and
+        # the max populated-cluster count any compact iteration consumed
+        # (feeds the sparsity warning; a final-u check would miss an
+        # intermediate over-capacity iteration)
+        return u, criterions, it, pop_max
     return u, criterions
 
 
@@ -381,15 +392,18 @@ class EM_DIRICHLET(TransductiveMethod):
 
         self.select = compact_select_impl(args)
 
-    def _check_compaction(self, u, n_query, n_class):
+    def _check_compaction(self, pop_max, n_query, n_class):
         n_compact, engaged = compaction_geometry(n_query, n_class)
         if self.compact and engaged:
             from ..base import PendingCompactionCheck
 
             # deferred: run_task fetches the scalar with its one combined
-            # accuracy transfer instead of paying a round trip here
+            # accuracy transfer instead of paying a round trip here.
+            # pop_max is the max populated count over every compact
+            # iteration (not just the final u), so an intermediate
+            # over-capacity iteration cannot pass silently.
             self._pending_check = PendingCompactionCheck(
-                u, n_compact, logger=self.logger
+                populated=pop_max, n_compact=n_compact, logger=self.logger
             )
 
     def _run_infer(self, x_q, compact_first: bool):
@@ -461,5 +475,5 @@ class EM_DIRICHLET(TransductiveMethod):
                     warnings.warn(msg)
                 self.compact_first = False
                 out = exact
-        self._check_compaction(out[0], n_query, n_class)
-        return out
+        self._check_compaction(out[3], n_query, n_class)
+        return out[:3]

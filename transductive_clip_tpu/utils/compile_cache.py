@@ -50,9 +50,11 @@ def _cpu_fingerprint() -> str:
     # than flushing it for a CPU-only failure mode. A live migration under a
     # running kernel can still slip through either way — XLA rejects those
     # artifacts gracefully at load.
-    platform_sel = (os.environ.get("JAX_PLATFORM_NAME", "")
-                    or os.environ.get("JAX_PLATFORMS", ""))
-    if platform_sel.strip().lower() == "cpu":
+    # only JAX_PLATFORM_NAME actually forces CPU here (the axon plugin
+    # ignores JAX_PLATFORMS): a JAX_PLATFORMS=cpu process with the plugin
+    # registered still runs on the TPU and must keep its cache across
+    # reboots
+    if os.environ.get("JAX_PLATFORM_NAME", "").strip().lower() == "cpu":
         try:
             with open("/proc/sys/kernel/random/boot_id") as f:
                 bits.append(f.read().strip())
