@@ -123,4 +123,16 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # fail FAST when the tunneled TPU backend is unreachable — its
+        # init hangs (not errors) in-process (see utils/backend_probe.py)
+        from transductive_clip_tpu.utils.backend_probe import (
+            backend_reachable,
+        )
+
+        if not backend_reachable():
+            sys.exit("run_synthetic_protocol: TPU backend unreachable "
+                     "(init probe hung/failed); rerun when the tunnel is "
+                     "back, or force CPU with JAX_PLATFORM_NAME=cpu and an "
+                     "unset PALLAS_AXON_POOL_IPS")
     main()
