@@ -265,7 +265,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
     idx_dummy = jnp.tile(jnp.arange(n_compact, dtype=jnp.int32)[None, :],
                          (n_task, 1))
 
-    if use_compact:
+    if use_compact and n_iter > 1:
         # the pure-support fixed point: where the reference's per-iteration
         # re-solve sends every zero-query-mass row once u underflows (y
         # reduces to supp/y_s_sum). Solved once, full width, warm-started
@@ -277,7 +277,10 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
                                   solver=solver, mesh=mesh)
         alpha_base = con(alpha_base, "dp", None, "tp")
     else:
-        alpha_base = alpha  # unused; keeps the loop body traceable
+        # n_iter == 1 (no compact iteration ever runs) or compact off:
+        # a placeholder keeps the (never-executed) loop body traceable
+        # without paying the full-width solve
+        alpha_base = alpha
 
     def transition_step(ops):
         """Iteration 2, peeled out of the loop: the first compact iteration,
