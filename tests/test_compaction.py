@@ -461,6 +461,38 @@ def test_fs_sparsity_warning_catches_intermediate_overflow(rng):
         f"intermediate overflow not reported (final populated={final_pop})"
 
 
+def test_zs_sparsity_warning_intermediate_overflow_and_no_false_positive(rng):
+    """Zero-shot counterpart: the per-iteration populated max must trigger
+    the sparsity warning on flat features (intermediate overflow) and stay
+    silent on protocol-like peaked features."""
+    import warnings
+
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    def run(x, y):
+        cfg = CfgNode(dict(
+            name_method="EM_DIRICHLET", n_class=x.shape[2],
+            num_classes_test=x.shape[2], n_query=x.shape[1], T=30,
+            use_softmax_feature=True, graph_matching=False, iter=6,
+            iter_mm=300, dirichlet_solver="minka", early_stop=False,
+            compact_clusters=True, compact_first_iter=False,
+        ))
+        method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            method.run_task({"x_q": x, "y_q": y[..., None]})
+        return [w for w in caught if "clusters carry mass" in str(w.message)]
+
+    x_flat, y_flat = _flat_feature_tasks(rng, n_task=2, n_query=20,
+                                         n_class=300, conc=5.0)
+    assert run(x_flat, y_flat), "flat-feature overflow not reported"
+
+    x_peak, y_peak = make_simplex_tasks(
+        rng, n_task=2, n_query=20, n_class=300, k_eff=6, concentration=60.0)
+    assert not run(x_peak, y_peak), "spurious warning on peaked features"
+
+
 def test_two_tier_never_mixes_solver_families(rng):
     """With solver='pallas' and n_compact above the Pallas row cap, BOTH
     tiers of the compact solve must resolve to the same (XLA Newton) solver
