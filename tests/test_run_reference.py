@@ -201,3 +201,70 @@ def test_few_shot_matches_reference(reference, tmp_path, config_name,
     acc_ref = np.asarray(ref_logs["acc"])[:, -1]
     acc_ours = np.asarray(ours["acc"])[:, -1]
     np.testing.assert_allclose(acc_ours, acc_ref, atol=acc_tol)
+
+
+@pytest.mark.parametrize("hard", [False, True])
+def test_few_shot_compact_drained_rows_match_reference(reference, tmp_path,
+                                                       hard):
+    """The PRODUCTION compact path (not the reference-exact config) against
+    the reference torch class, in the drained-row regime: near-flat query
+    features at K large enough to engage cluster compaction, where most
+    class rows' query mass underflows to exact zero after iteration 1 and
+    the reference's full-width re-solve moves them to the pure-support
+    fixed point. The compact path's alpha_base substitution must track
+    that — accuracies equal, posteriors close, criterion trace tracking
+    (methods/few_shot/em_dirichlet.py drained-row design)."""
+    shots, n_query, n_class = 2, 20, 120   # K > 2*(n_query+16) -> compaction
+    rng = np.random.default_rng(7)
+    ys = np.tile(np.repeat(np.arange(n_class), shots), (N_TASK, 1))
+
+    def feats(labels, conc):
+        out = np.zeros((*labels.shape, n_class), np.float32)
+        for t in range(labels.shape[0]):
+            for i, c in enumerate(labels[t]):
+                a = np.ones(n_class)
+                a[c] += conc
+                out[t, i] = rng.dirichlet(a)
+        return out
+
+    xs = feats(ys, 60.0)
+    yq = rng.integers(0, 5, (N_TASK, n_query))
+    xq = feats(yq, 5.0)                    # near-flat: drained-row regime
+
+    config_name = "hard_em_dirichlet" if hard else "em_dirichlet"
+    cfg = make_cfg(config_name, shots, tmp_path,
+                   num_classes_test=n_class, n_query=n_query, k_eff=5,
+                   batch_size=N_TASK, iter=6, iter_mm=200)
+    # production shortcuts ON (make_cfg turned them off for exact runs)
+    cfg.compact_clusters = True
+    cfg.early_stop = False                 # fixed schedule, same as the ref
+
+    ours = get_few_shot_method(cfg.name_method, args=cfg).run_task(
+        {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}, shot=shots)
+
+    mod = reference(f"src.methods.few_shot.{config_name}")
+    ref_cls = getattr(mod, cfg.name_method)
+    dummy_model = types.SimpleNamespace(eval=lambda: None, train=lambda: None)
+    ref_method = ref_cls(model=dummy_model, device="cpu",
+                         log_file=str(tmp_path / "ref.log"), args=cfg)
+    ref_logs = ref_method.run_task({
+        "x_s": torch.from_numpy(np.asarray(xs, np.float32)),
+        "y_s": torch.from_numpy(np.asarray(ys)).unsqueeze(2),
+        "x_q": torch.from_numpy(np.asarray(xq, np.float32)),
+        "y_q": torch.from_numpy(np.asarray(yq)).unsqueeze(2),
+    }, shot=shots)
+
+    np.testing.assert_allclose(np.asarray(ours["acc"])[:, -1],
+                               np.asarray(ref_logs["acc"])[:, -1],
+                               atol=1e-6)
+    u_ref = ref_method.u.numpy()
+    np.testing.assert_array_equal(np.asarray(ours["u"]).argmax(-1)
+                                  if "u" in ours else
+                                  np.asarray(ours["preds"]),
+                                  u_ref.argmax(-1))
+    crit_ref = np.asarray(ref_logs["criterions"], np.float64).reshape(-1)
+    crit_ours = np.asarray(ours["criterions"], np.float64).reshape(-1)
+    n = min(4, len(crit_ref), len(crit_ours))
+    sel = crit_ref[:n] > 1e-4
+    np.testing.assert_allclose(crit_ours[:n][sel], crit_ref[:n][sel],
+                               rtol=5e-2)
