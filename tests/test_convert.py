@@ -69,3 +69,44 @@ def test_convert_structure_matches_init(tmp_path, cfg):
         method=CLIPModule.encode_image)
     assert img.shape == (1, cfg.embed_dim)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def _jit_archive_from_state_dict(sd, path):
+    """Pack a state dict into a TorchScript archive (nested module tree),
+    the format the released OpenAI checkpoints actually use — exercises the
+    converter's ``torch.jit.load`` branch (models/clip/convert.py:13-21),
+    which no plain ``torch.save`` fixture reaches."""
+    class Holder(torch.nn.Module):
+        def forward(self) -> int:
+            return 0
+
+    root = Holder()
+    for key, t in sd.items():
+        parts = key.split(".")
+        mod = root
+        for p in parts[:-1]:
+            if not hasattr(mod, p) or not isinstance(getattr(mod, p),
+                                                     torch.nn.Module):
+                setattr(mod, p, Holder())
+            mod = getattr(mod, p)
+        if t.dtype.is_floating_point:
+            mod.register_parameter(parts[-1], torch.nn.Parameter(t))
+        else:
+            mod.register_buffer(parts[-1], t)
+    torch.jit.script(root).save(path)
+
+
+@pytest.mark.parametrize("cfg", [TINY_VIT, TINY_RN], ids=["vit", "resnet"])
+def test_convert_torchscript_archive_matches_plain(tmp_path, cfg):
+    """The released OpenAI ``.pt`` files are TorchScript archives, not plain
+    pickled state dicts; converting one must produce bit-identical params to
+    the plain path (the offline stand-in for real-checkpoint loading)."""
+    sd = synth_state_dict(cfg)
+    plain, jit = str(tmp_path / "plain.pt"), str(tmp_path / "jit.pt")
+    torch.save(sd, plain)
+    _jit_archive_from_state_dict(sd, jit)
+    p1 = convert_openai_checkpoint(plain, cfg)
+    p2 = convert_openai_checkpoint(jit, cfg)
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), p1, p2)
+    assert jax.tree_util.tree_all(same)
