@@ -133,7 +133,14 @@ def ensure_features(args, model, preprocess=None, splits=("test",), list_T=None)
         ):
             pending.append(model.encode_image_batch(images))
             labels.append(np.asarray(batch_labels))
-        embeddings = np.concatenate([np.array(p, np.float32) for p in pending])
+        # ONE combined device_get for every batch: each separate np.array(p)
+        # is a blocking transfer paying a full tunnel round trip (thousands
+        # of RTTs over an ImageNet split)
+        import jax
+
+        pending = jax.device_get(pending)
+        embeddings = np.concatenate(
+            [np.asarray(p, np.float32) for p in pending])
         embeddings /= np.linalg.norm(embeddings, axis=-1, keepdims=True)
         all_labels = np.concatenate(labels)
         for T, path in targets:

@@ -186,7 +186,9 @@ class EvaluatorFewShot:
         use_fused = resolve_fused_dispatch(args, device_gather)
 
         results_task, results_time = [], []
-        n_batches = int(args.number_tasks / args.batch_size)
+        from .zero_shot import _resolve_n_batches
+
+        n_batches = _resolve_n_batches(args, self.logger)
         # sampler pools are RNG-free functions of the constant label arrays:
         # build them once, not per batch (the reference rebuilds per batch,
         # eval_few_shot.py:151-157 — an O(n_class * N) host scan each time;
@@ -337,7 +339,7 @@ class EvaluatorFewShot:
                     acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
                     results_task.append(acc_mean)
                     results_time.append(logs["timestamps"])
-                    if defer and b == 0:
+                    if defer and b == 0 and n_batches > 1:
                         import time as _time
 
                         if use_fused and idx_s is not None:

@@ -70,6 +70,21 @@ def _maybe_task_mesh(args, logger=None):
     return make_mesh(tp=tp)
 
 
+def _parse_flag(val, name):
+    """Parse a CLI/config boolean that may arrive as a string. Accepts the
+    usual spellings; raises on anything else rather than silently reading
+    e.g. '1' or 'on' as False (``--opts`` delivers flags as strings and
+    ``bool('false')`` is True)."""
+    if not isinstance(val, str):
+        return bool(val)
+    low = val.strip().lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"{name}: expected a boolean or 'auto', got {val!r}")
+
+
 def resolve_defer_fetch(args, logger=None):
     """``defer_fetch: auto`` (default) enables the deferred-fetch pipeline on
     TPU, where each blocking sync costs a full tunnel round trip; ``True`` /
@@ -80,12 +95,11 @@ def resolve_defer_fetch(args, logger=None):
     END-TO-END wall clock (sampling + method + accuracy + fetch, amortized)
     rather than the method-only time, i.e. a conservative superset."""
     val = args.get("defer_fetch", "auto")
-    if isinstance(val, str) and val.lower() == "auto":
+    if isinstance(val, str) and val.strip().lower() == "auto":
         import jax
 
         return jax.default_backend() == "tpu"
-    on = bool(val) if not isinstance(val, str) else val.lower() == "true"
-    return on
+    return _parse_flag(val, "defer_fetch")
 
 
 def resolve_fused_dispatch(args, device_gather):
@@ -96,10 +110,9 @@ def resolve_fused_dispatch(args, device_gather):
     spellings as ``resolve_defer_fetch`` — CLI ``--opts`` deliver flags as
     strings, and ``bool('false')`` is True."""
     val = args.get("fused_dispatch", "auto")
-    if isinstance(val, str) and val.lower() == "auto":
+    if isinstance(val, str) and val.strip().lower() == "auto":
         return device_gather
-    on = bool(val) if not isinstance(val, str) else val.lower() == "true"
-    return on and device_gather
+    return _parse_flag(val, "fused_dispatch") and device_gather
 
 
 def finalize_deferred(deferred, t_tail0, batch_size, results_task,
@@ -108,12 +121,9 @@ def finalize_deferred(deferred, t_tail0, batch_size, results_task,
     logs in batch order. ``t_tail0`` marks the end of the blocking first
     batch, so the amortized per-task time covers exactly the deferred tail."""
     import time
+    from contextlib import nullcontext
 
     import jax
-
-    from ..core.metrics import compute_confidence_interval
-
-    from contextlib import nullcontext
 
     with timer.phase("deferred_fetch") if timer is not None else nullcontext():
         host = jax.device_get([r.handles for r in deferred])
@@ -123,6 +133,28 @@ def finalize_deferred(deferred, t_tail0, batch_size, results_task,
         acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
         results_task.append(acc_mean)
         results_time.append(logs["timestamps"])
+
+
+def _resolve_n_batches(args, logger=None):
+    """``number_tasks // batch_size``, the reference's truncating semantics
+    (eval_zero_shot.py:151) — but never a silent no-op: zero batches raises
+    instead of averaging an empty list to NaN, and a dropped remainder is
+    logged."""
+    n_batches = int(args.number_tasks) // int(args.batch_size)
+    if n_batches == 0:
+        raise ValueError(
+            f"number_tasks={args.number_tasks} < batch_size="
+            f"{args.batch_size}: no batch would run (the reference "
+            "evaluates floor(number_tasks / batch_size) batches)"
+        )
+    rem = int(args.number_tasks) % int(args.batch_size)
+    if rem and logger:
+        logger.warning(
+            f"number_tasks={args.number_tasks} is not a multiple of "
+            f"batch_size={args.batch_size}; the trailing {rem} tasks are "
+            "not evaluated (reference truncation semantics)"
+        )
+    return n_batches
 
 
 _GATHER = None
@@ -219,7 +251,7 @@ class EvaluatorZeroShot:
         use_fused = resolve_fused_dispatch(args, device_gather)
 
         results_task, results_time = [], []
-        n_batches = int(args.number_tasks / args.batch_size)
+        n_batches = _resolve_n_batches(args, self.logger)
         # pools are RNG-free functions of the constant labels: build once
         # (the reference rebuilds per batch, eval_zero_shot.py:154-156;
         # hoisting is draw-order exact since only __iter__ consumes rng)
@@ -311,7 +343,7 @@ class EvaluatorZeroShot:
                 acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
                 results_task.append(acc_mean)
                 results_time.append(logs["timestamps"])
-                if defer and b == 0:
+                if defer and b == 0 and n_batches > 1:
                     import time as _time
 
                     if use_fused and idx is not None:

@@ -800,6 +800,17 @@ class TransductiveMethod:
         def program(feats, labs, idx, tf):
             x_q = jnp.take(feats, idx, axis=0)              # [N, n, d]
             y_q = jnp.take(labs, idx, axis=0).astype(jnp.int32)
+            if self.mesh is not None:
+                # the per-program path shards the gathered batch over dp
+                # (eval/*.py shard_task_batch) BEFORE dispatch; inside the
+                # fused program the same resharding is a constraint — it
+                # also covers mesh-unaware methods, which otherwise would
+                # run the whole batch replicated under GSPMD
+                from ..ops.common import constrainer
+
+                con = constrainer(self.mesh)
+                x_q = con(x_q, "dp", None, None)
+                y_q = con(y_q, "dp", None)
             task = {"x_q": x_q, "y_q": y_q, "text_features": tf}
             self._pending_check = None
             u, criterions, n_exec = split_infer_out(self._infer(task))
@@ -959,6 +970,16 @@ class FewShotMethod(TransductiveMethod):
                 x_s, x_q = x_s[..., ::-1], x_q[..., ::-1]
                 y_s = n_class - 1 - y_s
                 y_q = n_class - 1 - y_q
+            if self.mesh is not None:
+                # mirror the per-program path's shard_task_batch (see the
+                # zero-shot fused builder)
+                from ..ops.common import constrainer
+
+                con = constrainer(self.mesh)
+                x_s = con(x_s, "dp", None, None)
+                x_q = con(x_q, "dp", None, None)
+                y_s = con(y_s, "dp", None)
+                y_q = con(y_q, "dp", None)
             task = {"x_s": x_s, "x_q": x_q, "y_s": y_s, "y_q": y_q,
                     "text_features": tf}
             self._pending_check = None

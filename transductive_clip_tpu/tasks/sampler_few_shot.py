@@ -34,7 +34,12 @@ class CategoriesSamplerFewShot:
     def create_list_classes(self, label_support, label_query):
         label_support = np.asarray(label_support)
         label_query = np.asarray(label_query)
-        n = int(label_support.max()) + 1
+        # size the pools by n_class, not max(label)+1: a class absent from
+        # the train split must yield an EMPTY support pool (and a reachable
+        # query pool), not an IndexError when the query sampler draws it —
+        # matches the zero-shot sampler's sizing (the reference shares the
+        # max()+1 flaw; sampler_few_shot.py:34-50)
+        n = max(self.n_class, int(label_support.max()) + 1)
         self.m_ind_support = [np.flatnonzero(label_support == i) for i in range(n)]
         self.m_ind_query = [np.flatnonzero(label_query == i) for i in range(n)]
 
