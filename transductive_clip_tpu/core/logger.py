@@ -13,10 +13,21 @@ class Logger:
     def __init__(self, module_name: str, filename: str):
         self.module_name = module_name
         self.filename = filename
+        # the REGISTRY key embeds the filename (one handler set per
+        # module x log file), but records must not propagate upward: dots
+        # inside the path would create unintended logging-hierarchy
+        # ancestors, and a configured root handler (e.g. absl's under jax)
+        # would duplicate every line
         self._logger = logging.getLogger(f"{module_name}:{filename}")
         self._logger.setLevel(logging.INFO)
+        self._logger.propagate = False
         if not self._logger.handlers:
-            fmt = logging.Formatter("[%(name)s]: [%(levelname)s]: %(message)s")
+            # reference line format '[module]: [LEVEL]: msg'
+            # (reference: src/utils.py:177-184) — the module label alone,
+            # not the registry key with the embedded path
+            fmt = logging.Formatter(
+                f"[{module_name}]: [%(levelname)s]: %(message)s"
+            )
             os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
             fh = logging.FileHandler(filename)
             fh.setFormatter(fmt)

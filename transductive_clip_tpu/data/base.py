@@ -45,7 +45,12 @@ def generate_fewshot_subset(data, num_shots, rng):
     """``num_shots`` samples per class; classes with fewer items than
     ``num_shots`` are sampled with replacement
     (reference: src/datasets/utils.py:193-235).
+
+    ``num_shots < 1`` returns the data unchanged — the reference's
+    'use all data' sentinel (default -1, src/datasets/utils.py:207-208).
     """
+    if num_shots < 1:
+        return list(data)
     by_label = defaultdict(list)
     for d in data:
         by_label[int(d.label)].append(d)

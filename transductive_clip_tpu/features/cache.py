@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
-from ..core.io import load_pickle, save_pickle
-
-
-# config `feature_store` -> cache filename suffix (features/store.py)
-_SUFFIXES = {"plk": ".plk", "npz": ".npz", "orbax": ".orbax"}
+# config `feature_store` -> cache filename suffix (features/store.py).
+# 'pickle' is the alias store.py's open_store also accepts.
+_SUFFIXES = {"plk": ".plk", "pickle": ".plk", "npz": ".npz",
+             "orbax": ".orbax"}
 
 
 def _ext(store):
@@ -35,6 +33,10 @@ def _ext(store):
 
 def softmax_cache_path(dataset, set_name, backbone, T, root="data",
                        store="plk"):
+    # the RAW backbone string is embedded, slash and all: 'ViT-B/16' nests
+    # a directory exactly like the reference's format() does
+    # (reference: src/utils.py:266-267) — required for existing reference
+    # caches to resolve; save paths makedirs so writes work too
     return os.path.join(
         root, dataset, "saved_features",
         f"{set_name}_softmax_{backbone}_T{T}{_ext(store)}",
@@ -51,28 +53,14 @@ def visual_cache_path(dataset, set_name, backbone, root="data", store="plk"):
 def load_feature_cache(path):
     """Returns (features [N, d] float32 ndarray, labels [N] int64 ndarray).
 
-    Non-pickle caches (npz/orbax, suffix-encoded) dispatch to their store
-    backend."""
-    if not path.endswith(".plk"):
-        from .store import store_for_path
+    Pure suffix dispatch: the store backends (features/store.py) own the
+    read/write bodies, so there is no cache<->store delegation cycle."""
+    from .store import store_for_path
 
-        return store_for_path(path).load(path)
-    d = load_pickle(path)
-    feats = np.asarray(d["concat_features"], np.float32)
-    labels = np.asarray(d["concat_labels"], np.int64)
-    return feats, labels
+    return store_for_path(path).load(path)
 
 
 def save_feature_cache(path, features, labels):
-    if not path.endswith(".plk"):
-        from .store import store_for_path
+    from .store import store_for_path
 
-        return store_for_path(path).save(path, features, labels)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    save_pickle(
-        path,
-        {
-            "concat_features": np.asarray(features, np.float32),
-            "concat_labels": np.asarray(labels, np.int64),
-        },
-    )
+    return store_for_path(path).save(path, features, labels)

@@ -24,17 +24,33 @@ import numpy as np
 
 
 class PickleStore:
+    """Reference-compatible pickle payload
+    {'concat_features', 'concat_labels'} (reference: src/utils.py:299-306);
+    files written by the torch reference (torch tensors) load
+    transparently via np.asarray."""
+
     suffix = ".plk"
 
     def save(self, path, features, labels):
-        from .cache import save_feature_cache
+        from ..core.io import save_pickle
 
-        save_feature_cache(path, features, labels)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        save_pickle(
+            path,
+            {
+                "concat_features": np.asarray(features, np.float32),
+                "concat_labels": np.asarray(labels, np.int64),
+            },
+        )
 
     def load(self, path):
-        from .cache import load_feature_cache
+        from ..core.io import load_pickle
 
-        return load_feature_cache(path)
+        d = load_pickle(path)
+        return (
+            np.asarray(d["concat_features"], np.float32),
+            np.asarray(d["concat_labels"], np.int64),
+        )
 
 
 class NpzStore:
