@@ -48,7 +48,20 @@ def maybe_load_clip(args):
         return None, None
     from transductive_clip_tpu.models import clip as clip_jax
 
-    return clip_jax.load(args.backbone)
+    # clip_compute: 'bf16' (default, MXU-native) | 'float32'
+    # (reference-exact tower numerics)
+    dtype_name = str(args.get("clip_compute", "bf16")).strip().lower()
+    if dtype_name in ("bf16", "bfloat16"):
+        compute_dtype = None               # loader default (bfloat16)
+    elif dtype_name in ("float32", "fp32", "f32"):
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.float32
+    else:
+        raise ValueError(
+            f"clip_compute must be 'bf16' or 'float32'; got {dtype_name!r}"
+        )
+    return clip_jax.load(args.backbone, compute_dtype=compute_dtype)
 
 
 def main():

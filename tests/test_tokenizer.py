@@ -100,6 +100,23 @@ def test_hand_computed_token_ids(tok):
     assert padded[12:].tolist() == [0, 0, 0, 0]
 
 
+def test_nfd_input_normalized_to_nfc(tok):
+    """NFD-decomposed accents must tokenize like their NFC form (the
+    reference's ftfy.fix_text applies NFC; see tokenizer.basic_clean)."""
+    import unicodedata
+
+    word = "café cat"
+    nfd = unicodedata.normalize("NFD", word)
+    assert nfd != word  # actually decomposed
+    assert tok.encode(nfd) == tok.encode(word)
+
+
+def test_truncate_false_raises(tok):
+    """Reference clip.tokenize default raises on over-length prompts."""
+    with pytest.raises(RuntimeError, match="too long"):
+        tok.encode_padded("cat " * 50, context_length=6, truncate=False)
+
+
 def test_missing_vocab_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="BPE"):
         SimpleTokenizer(bpe_path=str(tmp_path / "nope.gz"))

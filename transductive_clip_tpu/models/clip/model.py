@@ -56,7 +56,12 @@ class JaxCLIP:
 
     def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
-        self.params = params
+        # commit the weight tree to the device ONCE: converted checkpoints
+        # arrive as host numpy arrays, and jit re-uploads numpy arguments on
+        # EVERY call — ~400 MB of fp32 weights per encode batch over the
+        # tunneled link for the real-checkpoint path (values unchanged: the
+        # compute_dtype cast still happens in-jit)
+        self.params = jax.device_put(params)
         # bf16 compute: params + activations cast to bf16 (MXU-native),
         # attention softmaxes stay fp32 (layers.py), outputs upcast to fp32.
         # CLIP inference is robust to bf16; pass compute_dtype=float32 to
@@ -109,8 +114,13 @@ class JaxCLIP:
     # -- image ---------------------------------------------------------
     def encode_image_batch(self, images):
         """images: [b, H, W, 3] NHWC — float32 (CLIP-normalized) or raw
-        uint8 (normalized on device)."""
-        images = jnp.asarray(images)
+        uint8 (normalized on device).
+
+        Host arrays go to the device exactly once: the mesh path
+        device_puts the HOST array with its dp sharding directly (an eager
+        ``jnp.asarray`` first would commit the whole batch to one device
+        and then reshard it — double transfer over the tunneled link), and
+        the single-device path lets jit do its one transfer."""
         if self.mesh is not None and images.shape[0] % self.mesh.shape["dp"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -151,8 +161,15 @@ def checkpoint_path(backbone: str) -> str:
     return os.path.join(root, f"{safe}.pt")
 
 
-def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0):
-    """Returns (model, preprocess) like the reference's clip.load."""
+def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
+         compute_dtype=None):
+    """Returns (model, preprocess) like the reference's clip.load.
+
+    ``compute_dtype``: ``jnp.bfloat16`` (default; MXU-native, ~1.5x
+    extraction throughput) or ``jnp.float32`` for reference-exact tower
+    numerics — reachable from the CLI via ``clip_compute: float32``
+    (main.py), per the repo rule that every performance shortcut keeps a
+    switch back to the reference-exact behavior."""
     if backbone not in CLIP_CONFIGS:
         raise ValueError(
             f"Unknown backbone {backbone!r}; choose from {sorted(CLIP_CONFIGS)}"
@@ -173,6 +190,8 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0):
         )
     from .preprocess import make_preprocess
 
-    model = JaxCLIP(cfg, params)
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    model = JaxCLIP(cfg, params, compute_dtype=compute_dtype)
     # uint8 preprocess: normalization happens on device (smaller transfers)
     return model, make_preprocess(cfg.vision.image_size, dtype="uint8")

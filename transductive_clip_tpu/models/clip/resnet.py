@@ -75,6 +75,9 @@ class AttentionPool2d(nn.Module):
     def __call__(self, x):
         """x: [b, h, w, c] -> [b, output_dim]."""
         b, h, w, c = x.shape
+        # c is derived from the input; embed_dim documents/checks the
+        # expected stem output so a misconfigured backbone fails loudly
+        assert c == self.embed_dim, (c, self.embed_dim)
         tokens = x.reshape(b, h * w, c)
         mean = tokens.mean(axis=1, keepdims=True)
         tokens = jnp.concatenate([mean, tokens], axis=1)         # [b, hw+1, c]

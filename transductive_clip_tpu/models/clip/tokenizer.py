@@ -50,6 +50,16 @@ def get_pairs(word):
 
 
 def basic_clean(text):
+    # OpenAI's tokenizer runs ftfy.fix_text here (mojibake repair + NFC
+    # normalization); ftfy is not vendored, so only the NFC half is
+    # reproduced — without it, NFD-decomposed accents ('café') would
+    # split at the combining mark and tokenize differently from the
+    # reference. Mojibake inputs (already-corrupted encodings) remain a
+    # documented divergence; the protocol's classnames/templates are clean
+    # ASCII either way.
+    import unicodedata
+
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -146,11 +156,24 @@ class SimpleTokenizer:
             )
         return bpe_tokens
 
-    def encode_padded(self, text, context_length=77):
+    def encode_padded(self, text, context_length=77, truncate=True):
+        """SOT + BPE ids + EOT, zero-padded to ``context_length``.
+
+        ``truncate=True`` (default) cuts over-length prompts and patches
+        EOT into the last slot — the semantics of the reference path's
+        ``clip.tokenize(..., truncate=True)``. Note the reference DEFAULT
+        raises instead; pass ``truncate=False`` for that behavior. The
+        protocol's prompt templates are far below 77 tokens either way.
+        """
         sot = self.encoder["<|startoftext|>"]
         eot = self.encoder["<|endoftext|>"]
         tokens = [sot] + self.encode(text) + [eot]
         if len(tokens) > context_length:
+            if not truncate:
+                raise RuntimeError(
+                    f"Input {text!r} is too long for context length "
+                    f"{context_length}"
+                )
             tokens = tokens[:context_length]
             tokens[-1] = eot
         out = np.zeros(context_length, np.int32)
