@@ -61,7 +61,15 @@ def maybe_load_clip(args):
         raise ValueError(
             f"clip_compute must be 'bf16' or 'float32'; got {dtype_name!r}"
         )
-    return clip_jax.load(args.backbone, compute_dtype=compute_dtype)
+    # clip_attention: 'auto' (fused Pallas attention on TPU, XLA elsewhere)
+    # | 'fused' | 'xla' (reference-shaped einsum path)
+    attn_impl = str(args.get("clip_attention", "auto")).strip().lower()
+    if attn_impl not in ("auto", "fused", "xla"):
+        raise ValueError(
+            f"clip_attention must be 'auto', 'fused' or 'xla'; got {attn_impl!r}"
+        )
+    return clip_jax.load(args.backbone, compute_dtype=compute_dtype,
+                         attention_impl=attn_impl)
 
 
 def main():

@@ -23,16 +23,41 @@ class QuickGELU(nn.Module):
 
 class MultiHeadAttention(nn.Module):
     """Fused-qkv multi-head attention, matching OpenAI CLIP's in_proj layout
-    so checkpoint conversion is a direct reshape."""
+    so checkpoint conversion is a direct reshape.
+
+    ``attn_impl`` selects the score-matrix computation:
+      * ``'xla'`` — plain einsums (every backend; the score tensor and the
+        head transposes round-trip HBM);
+      * ``'fused'`` — the VMEM-resident Pallas kernel
+        (ops/pallas_attention.py, TPU production path);
+      * ``'fused_interpret'`` — the same kernel in interpreter mode
+        (CPU equivalence tests only).
+    Both paths share the in/out projections, so parameters are identical.
+    """
 
     width: int
     heads: int
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         b, n, _ = x.shape
         head_dim = self.width // self.heads
         qkv = nn.Dense(3 * self.width, name="in_proj")(x)        # [b, n, 3w]
+
+        if self.attn_impl in ("fused", "fused_interpret"):
+            from transductive_clip_tpu.ops.pallas_attention import (
+                fused_attention,
+            )
+
+            out = fused_attention(
+                qkv, self.heads, mask,
+                interpret=self.attn_impl == "fused_interpret",
+            )
+            return nn.Dense(self.width, name="out_proj")(out)
+        if self.attn_impl != "xla":
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
@@ -52,11 +77,14 @@ class MultiHeadAttention(nn.Module):
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.heads, name="attn")(y, mask)
+        x = x + MultiHeadAttention(
+            self.width, self.heads, self.attn_impl, name="attn"
+        )(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(4 * self.width, name="c_fc")(y)
         y = QuickGELU()(y)
@@ -68,11 +96,12 @@ class Transformer(nn.Module):
     width: int
     layers: int
     heads: int
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
-                self.width, self.heads, name=f"resblock_{i}"
+                self.width, self.heads, self.attn_impl, name=f"resblock_{i}"
             )(x, mask)
         return x

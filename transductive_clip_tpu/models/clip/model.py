@@ -25,13 +25,22 @@ from .vit import VisionTransformer
 
 class CLIPModule(nn.Module):
     cfg: CLIPConfig
+    # attention score-matrix impl for the transformer towers: 'xla' |
+    # 'fused' (Pallas, TPU) | 'fused_interpret' (tests). Parameters are
+    # identical across impls. The ResNet attention pool always uses XLA
+    # (single query token — nothing to fuse).
+    attn_impl: str = "xla"
 
     def setup(self):
         if self.cfg.vision.is_resnet:
             self.visual = ModifiedResNet(self.cfg.vision, self.cfg.embed_dim)
         else:
-            self.visual = VisionTransformer(self.cfg.vision, self.cfg.embed_dim)
-        self.text = TextTransformer(self.cfg.text, self.cfg.embed_dim)
+            self.visual = VisionTransformer(
+                self.cfg.vision, self.cfg.embed_dim, self.attn_impl
+            )
+        self.text = TextTransformer(
+            self.cfg.text, self.cfg.embed_dim, self.attn_impl
+        )
         self.logit_scale = self.param(
             "logit_scale", lambda *_: jnp.asarray(np.log(1 / 0.07), jnp.float32), ()
         )
@@ -51,10 +60,32 @@ class CLIPModule(nn.Module):
         return scale * img @ txt.T
 
 
+def _resolve_attention_impl(impl: str, cfg: CLIPConfig, compute_dtype) -> str:
+    """'auto' -> the fused Pallas attention on TPU backends when every
+    transformer tower's per-instance working set fits VMEM
+    (ops/pallas_attention.py), else plain XLA einsums."""
+    if impl != "auto":
+        return impl
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from transductive_clip_tpu.ops.pallas_attention import (
+        fused_attention_supported,
+    )
+
+    shapes = [(cfg.text.context_length, cfg.text.width)]
+    if not cfg.vision.is_resnet:
+        v = cfg.vision
+        shapes.append(((v.image_size // v.patch_size) ** 2 + 1, v.width))
+    ok = all(fused_attention_supported(n, w, compute_dtype)
+             for n, w in shapes)
+    return "fused" if ok else "xla"
+
+
 class JaxCLIP:
     """Host-side wrapper holding params + jitted encoders."""
 
-    def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16):
+    def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16,
+                 attention_impl: str = "auto"):
         self.cfg = cfg
         # commit the weight tree to the device ONCE: converted checkpoints
         # arrive as host numpy arrays, and jit re-uploads numpy arguments on
@@ -67,7 +98,10 @@ class JaxCLIP:
         # CLIP inference is robust to bf16; pass compute_dtype=float32 to
         # disable.
         self.compute_dtype = compute_dtype
-        self.module = CLIPModule(cfg)
+        self.attention_impl = _resolve_attention_impl(
+            attention_impl, cfg, compute_dtype
+        )
+        self.module = CLIPModule(cfg, attn_impl=self.attention_impl)
 
         def _cast(tree, dtype):
             return jax.tree.map(
@@ -162,14 +196,17 @@ def checkpoint_path(backbone: str) -> str:
 
 
 def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
-         compute_dtype=None):
+         compute_dtype=None, attention_impl: str = "auto"):
     """Returns (model, preprocess) like the reference's clip.load.
 
     ``compute_dtype``: ``jnp.bfloat16`` (default; MXU-native, ~1.5x
     extraction throughput) or ``jnp.float32`` for reference-exact tower
     numerics — reachable from the CLI via ``clip_compute: float32``
     (main.py), per the repo rule that every performance shortcut keeps a
-    switch back to the reference-exact behavior."""
+    switch back to the reference-exact behavior.
+
+    ``attention_impl``: 'auto' (fused Pallas attention on TPU, XLA
+    elsewhere) | 'fused' | 'xla' — CLI: ``clip_attention``."""
     if backbone not in CLIP_CONFIGS:
         raise ValueError(
             f"Unknown backbone {backbone!r}; choose from {sorted(CLIP_CONFIGS)}"
@@ -192,6 +229,7 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
 
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
-    model = JaxCLIP(cfg, params, compute_dtype=compute_dtype)
+    model = JaxCLIP(cfg, params, compute_dtype=compute_dtype,
+                    attention_impl=attention_impl)
     # uint8 preprocess: normalization happens on device (smaller transfers)
     return model, make_preprocess(cfg.vision.image_size, dtype="uint8")

@@ -13,6 +13,7 @@ from .layers import Transformer
 class TextTransformer(nn.Module):
     cfg: CLIPTextConfig
     embed_dim: int
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, tokens):
@@ -32,7 +33,9 @@ class TextTransformer(nn.Module):
         n = c.context_length
         causal = jnp.full((n, n), -jnp.inf, x.dtype)
         causal = jnp.triu(causal, k=1)[None, None]
-        x = Transformer(c.width, c.layers, c.heads, name="transformer")(x, causal)
+        x = Transformer(
+            c.width, c.layers, c.heads, self.attn_impl, name="transformer"
+        )(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
 
         # pool at the EOT token (the highest token id in each sequence)

@@ -12,6 +12,7 @@ from .layers import Transformer
 class VisionTransformer(nn.Module):
     cfg: CLIPVisionConfig
     embed_dim: int
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images):
@@ -41,7 +42,9 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(x.dtype)
 
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
-        x = Transformer(c.width, c.layers, c.heads, name="transformer")(x)
+        x = Transformer(
+            c.width, c.layers, c.heads, self.attn_impl, name="transformer"
+        )(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
 
         proj = self.param(
