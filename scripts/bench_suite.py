@@ -325,7 +325,8 @@ def main():
         kind = jax.devices()[0].device_kind
         peak = next((v for k, v in peak_by_kind.items()
                      if kind.lower().startswith(k.lower())), None)
-        batch = 8 if args.quick else 256
+        # matches the production extract_batch_size (config/main_config.yaml)
+        batch = 8 if args.quick else 512
         rng_x = np.random.default_rng(0)
         for backbone in ("ViT-B/16", "RN50"):
             cfg_b = CLIP_CONFIGS[backbone]
