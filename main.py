@@ -68,8 +68,13 @@ def maybe_load_clip(args):
         raise ValueError(
             f"clip_attention must be 'auto', 'fused' or 'xla'; got {attn_impl!r}"
         )
+    # clip_fold_bn: True (default; exact BN-into-conv fold for the frozen
+    # ResNet towers) | False (reference-shaped unfolded graph)
+    from transductive_clip_tpu.eval.zero_shot import _parse_flag
+
+    fold_bn = _parse_flag(args.get("clip_fold_bn", True), "clip_fold_bn")
     return clip_jax.load(args.backbone, compute_dtype=compute_dtype,
-                         attention_impl=attn_impl)
+                         attention_impl=attn_impl, fold_bn=fold_bn)
 
 
 def main():

@@ -79,6 +79,64 @@ def test_text_tower_matches_torch(tmp_path, cfg):
     np.testing.assert_allclose(got, want, **TOL)
 
 
+def test_folded_bn_resnet_matches_unfolded_and_torch(tmp_path):
+    """fold_resnet_params is an exact rewrite: the fold_bn=True tower on
+    folded weights must match both the unfolded Flax tower and the torch
+    reimplementation (reference towers keep BN separate; the fold is a
+    TPU-side optimization that must not change a single feature)."""
+    from transductive_clip_tpu.models.clip.resnet import fold_resnet_params
+
+    cfg = TINY_RN
+    sd, params = _converted(tmp_path, cfg)
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(
+        size=(3, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+
+    unfolded = np.asarray(
+        CLIPModule(cfg).apply(
+            params, jnp.asarray(imgs), method=CLIPModule.encode_image
+        )
+    )
+    folded_params = {"params": dict(params["params"])}
+    folded_params["params"]["visual"] = fold_resnet_params(
+        params["params"]["visual"]
+    )
+    folded = np.asarray(
+        CLIPModule(cfg, fold_bn=True).apply(
+            folded_params, jnp.asarray(imgs), method=CLIPModule.encode_image
+        )
+    )
+    np.testing.assert_allclose(folded, unfolded, rtol=3e-5, atol=3e-5)
+
+    with torch.no_grad():
+        want = torch_clip.encode_image(
+            sd, cfg, torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).numpy()
+    np.testing.assert_allclose(folded, want, **TOL)
+
+
+def test_jaxclip_folds_by_default(tmp_path):
+    """JaxCLIP(fold_bn=True) (the default) must produce the same embeddings
+    as the unfolded reference-shaped graph through the public encode API."""
+    from transductive_clip_tpu.models.clip import JaxCLIP
+
+    cfg = TINY_RN
+    _, params = _converted(tmp_path, cfg)
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(
+        size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    fast = JaxCLIP(cfg, params, compute_dtype=jnp.float32)
+    assert fast.fold_bn
+    slow = JaxCLIP(cfg, params, compute_dtype=jnp.float32, fold_bn=False)
+    np.testing.assert_allclose(
+        np.asarray(fast.encode_image_batch(imgs)),
+        np.asarray(slow.encode_image_batch(imgs)),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
 def test_softmax_features_match_torch(tmp_path):
     """End-to-end softmax-feature parity: the exact transform the reference
     applies (reference: src/utils.py:281-297) computed from both stacks."""

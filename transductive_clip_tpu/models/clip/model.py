@@ -30,10 +30,15 @@ class CLIPModule(nn.Module):
     # identical across impls. The ResNet attention pool always uses XLA
     # (single query token — nothing to fuse).
     attn_impl: str = "xla"
+    # fold_bn=True expects fold_resnet_params()-transformed weights (exact
+    # BN-into-conv fold; resnet.py). ViT towers ignore it.
+    fold_bn: bool = False
 
     def setup(self):
         if self.cfg.vision.is_resnet:
-            self.visual = ModifiedResNet(self.cfg.vision, self.cfg.embed_dim)
+            self.visual = ModifiedResNet(
+                self.cfg.vision, self.cfg.embed_dim, fold_bn=self.fold_bn
+            )
         else:
             self.visual = VisionTransformer(
                 self.cfg.vision, self.cfg.embed_dim, self.attn_impl
@@ -85,8 +90,20 @@ class JaxCLIP:
     """Host-side wrapper holding params + jitted encoders."""
 
     def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16,
-                 attention_impl: str = "auto"):
+                 attention_impl: str = "auto", fold_bn: bool = True):
         self.cfg = cfg
+        # the towers are frozen, so BatchNorm folds exactly into the conv
+        # weights (resnet.py:fold_resnet_params) — production default; CLI
+        # ``clip_fold_bn: False`` keeps the reference-shaped unfolded graph
+        self.fold_bn = bool(fold_bn) and cfg.vision.is_resnet
+        if self.fold_bn:
+            from .resnet import fold_resnet_params
+
+            params = dict(params)
+            params["params"] = dict(params["params"])
+            params["params"]["visual"] = fold_resnet_params(
+                params["params"]["visual"]
+            )
         # commit the weight tree to the device ONCE: converted checkpoints
         # arrive as host numpy arrays, and jit re-uploads numpy arguments on
         # EVERY call — ~400 MB of fp32 weights per encode batch over the
@@ -101,7 +118,8 @@ class JaxCLIP:
         self.attention_impl = _resolve_attention_impl(
             attention_impl, cfg, compute_dtype
         )
-        self.module = CLIPModule(cfg, attn_impl=self.attention_impl)
+        self.module = CLIPModule(cfg, attn_impl=self.attention_impl,
+                                 fold_bn=self.fold_bn)
 
         def _cast(tree, dtype):
             return jax.tree.map(
@@ -196,7 +214,8 @@ def checkpoint_path(backbone: str) -> str:
 
 
 def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
-         compute_dtype=None, attention_impl: str = "auto"):
+         compute_dtype=None, attention_impl: str = "auto",
+         fold_bn: bool = True):
     """Returns (model, preprocess) like the reference's clip.load.
 
     ``compute_dtype``: ``jnp.bfloat16`` (default; MXU-native, ~1.5x
@@ -206,7 +225,10 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
     switch back to the reference-exact behavior.
 
     ``attention_impl``: 'auto' (fused Pallas attention on TPU, XLA
-    elsewhere) | 'fused' | 'xla' — CLI: ``clip_attention``."""
+    elsewhere) | 'fused' | 'xla' — CLI: ``clip_attention``.
+
+    ``fold_bn``: fold frozen BatchNorms into the ResNet conv weights (exact;
+    resnet.py:fold_resnet_params). CLI: ``clip_fold_bn`` (default True)."""
     if backbone not in CLIP_CONFIGS:
         raise ValueError(
             f"Unknown backbone {backbone!r}; choose from {sorted(CLIP_CONFIGS)}"
@@ -230,6 +252,6 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
     model = JaxCLIP(cfg, params, compute_dtype=compute_dtype,
-                    attention_impl=attention_impl)
+                    attention_impl=attention_impl, fold_bn=fold_bn)
     # uint8 preprocess: normalization happens on device (smaller transfers)
     return model, make_preprocess(cfg.vision.image_size, dtype="uint8")

@@ -7,15 +7,26 @@ Differences from a torchvision ResNet, mirrored here:
   mean token as query) instead of global average pooling.
 
 BatchNorm runs in frozen inference mode (running statistics are parameters);
-the towers are never trained in this framework.
+the towers are never trained in this framework. Because the model is frozen,
+every BN folds *exactly* into the preceding bias-free conv
+(``fold_resnet_params``): ``y = conv(x) * inv + (bias - mean * inv)`` with
+``inv = scale / sqrt(var + eps)`` is the same affine map as a conv whose
+kernel is scaled per output channel by ``inv`` and that carries
+``bias - mean * inv`` as its bias. ``fold_bn=True`` builds the tower in that
+form (one conv+bias op per conv instead of conv + 4-parameter elementwise
+pass); it is the production default, with ``clip_fold_bn: False`` switching
+back to the reference-shaped unfolded graph.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from .config import CLIPVisionConfig
+
+_BN_EPS = 1e-5
 
 
 class FrozenBatchNorm(nn.Module):
@@ -27,7 +38,7 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = scale / jnp.sqrt(var + 1e-5)
+        inv = scale / jnp.sqrt(var + _BN_EPS)
         return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
@@ -40,29 +51,33 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        def conv(features, kernel, name, y, **kw):
+            y = nn.Conv(features, kernel, use_bias=self.fold_bn, name=name,
+                        **kw)(y)
+            if not self.fold_bn:
+                y = FrozenBatchNorm(features, name=name.replace("conv", "bn"))(y)
+            return y
+
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
-        out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
-        out = nn.relu(out)
+        out = nn.relu(conv(self.planes, (1, 1), "conv1", x))
+        out = nn.relu(conv(self.planes, (3, 3), "conv2", out, padding=1))
         if self.stride > 1:
             out = avg_pool(out, self.stride, self.stride)
         width_out = self.planes * self.expansion
-        out = nn.Conv(width_out, (1, 1), use_bias=False, name="conv3")(out)
-        out = FrozenBatchNorm(width_out, name="bn3")(out)
+        out = conv(width_out, (1, 1), "conv3", out)
 
         if self.downsample:
             if self.stride > 1:
                 identity = avg_pool(identity, self.stride, self.stride)
             identity = nn.Conv(
-                width_out, (1, 1), use_bias=False, name="downsample_conv"
+                width_out, (1, 1), use_bias=self.fold_bn, name="downsample_conv"
             )(identity)
-            identity = FrozenBatchNorm(width_out, name="downsample_bn")(identity)
+            if not self.fold_bn:
+                identity = FrozenBatchNorm(width_out, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -107,6 +122,9 @@ class AttentionPool2d(nn.Module):
 class ModifiedResNet(nn.Module):
     cfg: CLIPVisionConfig
     embed_dim: int
+    # fold_bn=True expects parameters produced by fold_resnet_params():
+    # biased convs, no FrozenBatchNorm modules. Same math, fewer HBM passes.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -114,14 +132,18 @@ class ModifiedResNet(nn.Module):
         c = self.cfg
         width = c.width
         x = images
+
+        def stem_conv(features, name, y, **kw):
+            y = nn.Conv(features, (3, 3), padding=1, use_bias=self.fold_bn,
+                        name=name, **kw)(y)
+            if not self.fold_bn:
+                y = FrozenBatchNorm(features, name=name.replace("conv", "bn"))(y)
+            return nn.relu(y)
+
         # 3-conv stem
-        x = nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False,
-                    name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(width // 2, name="bn1")(x))
-        x = nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x)
-        x = nn.relu(FrozenBatchNorm(width // 2, name="bn2")(x))
-        x = nn.Conv(width, (3, 3), padding=1, use_bias=False, name="conv3")(x)
-        x = nn.relu(FrozenBatchNorm(width, name="bn3")(x))
+        x = stem_conv(width // 2, "conv1", x, strides=2)
+        x = stem_conv(width // 2, "conv2", x)
+        x = stem_conv(width, "conv3", x)
         x = avg_pool(x, 2, 2)
 
         # residual stages
@@ -133,6 +155,7 @@ class ModifiedResNet(nn.Module):
                     planes,
                     stride=stride if block == 0 else 1,
                     downsample=(block == 0),
+                    fold_bn=self.fold_bn,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
             planes *= 2
@@ -141,3 +164,33 @@ class ModifiedResNet(nn.Module):
             embed_dim=width * 32, heads=c.heads, output_dim=self.embed_dim,
             name="attnpool",
         )(x)
+
+
+def fold_resnet_params(visual):
+    """Fold every FrozenBatchNorm of an *unfolded* ModifiedResNet visual
+    param subtree into its preceding bias-free conv.
+
+    Exact (fp32 host math, same eps): for each ``convX``/``bnX`` pair,
+    ``kernel[..., o] *= inv[o]`` and ``bias[o] = bn.bias[o] - mean[o]*inv[o]``
+    with ``inv = scale / sqrt(var + eps)``. Returns the param subtree the
+    ``fold_bn=True`` module expects; non-BN leaves pass through unchanged.
+    """
+    out = {}
+    for name, sub in visual.items():
+        if not isinstance(sub, dict):
+            out[name] = sub
+        elif name.startswith("bn") or name == "downsample_bn":
+            continue
+        elif name.startswith("conv") or name == "downsample_conv":
+            bn = visual[name.replace("conv", "bn")
+                        if name != "downsample_conv" else "downsample_bn"]
+            inv = (np.asarray(bn["scale"], np.float64)
+                   / np.sqrt(np.asarray(bn["var"], np.float64) + _BN_EPS))
+            kernel = np.asarray(sub["kernel"], np.float64) * inv
+            bias = np.asarray(bn["bias"], np.float64) - np.asarray(
+                bn["mean"], np.float64) * inv
+            out[name] = {"kernel": kernel.astype(np.float32),
+                         "bias": bias.astype(np.float32)}
+        else:
+            out[name] = fold_resnet_params(sub)
+    return out
