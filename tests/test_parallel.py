@@ -326,3 +326,207 @@ def test_few_shot_pallas_solver_on_tp_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(crit_dist), np.asarray(crit_ref), rtol=2e-3, atol=1e-5
     )
+
+
+# ---- compiled-HLO sharding-quality assertions (VERDICT r3 next #2) --------
+#
+# Multi-chip CORRECTNESS is covered above; these lock in the sharding
+# QUALITY SURVEY §2.2 demands: lowered at ImageNet-like shapes on the (4,2)
+# mesh, the compiled program must keep the big per-task state (alpha
+# [N, K, K] / TIM weights+Adam moments [N, K, d]) tp-sharded — (a) no
+# per-device buffer holds a full per-dp-shard of it, and (b) no collective
+# moves O(N*K*K) bytes. A GSPMD regression that all-gathers alpha (e.g. the
+# round-3 `reshape(n_task, -1)` criterion, which gathered 2x8 MB/device —
+# caught and fixed by exactly this check) passes every numerical test above
+# but fails here.
+
+_IMAGENET_N, _IMAGENET_NQ, _IMAGENET_K = 8, 75, 1000
+
+
+def _elems(shape_str):
+    el = 1
+    for d in shape_str.split(","):
+        el *= int(d)
+    return el
+
+
+def _invariant_slots(txt, body_name):
+    """Indices of while-tuple slots the body passes through untouched
+    (root tuple operand j is a direct get-tuple-element, i.e. a
+    loop-INVARIANT XLA threads through the carry). The loop-invariant
+    inputs (the raw [N, s, d] features, their hoisted norms) legitimately
+    exceed the mutating-state shard size — only slots the body actually
+    rewrites hold the per-iteration state this suite polices."""
+    import re
+
+    bm = re.search(
+        r"%" + re.escape(body_name) + r" \(.*?\{(.*?)\n\}", txt, re.S
+    )
+    if bm is None:
+        return set()
+    btxt = bm.group(1)
+    rt = re.search(r"ROOT %\S+ = \([^;]*?\) tuple\(([^)]*)\)", btxt)
+    if rt is None:
+        return set()
+    gtes = {
+        m.group(1)
+        for m in re.finditer(r"(%get-tuple-element\.?\d*)\s*=", btxt)
+    }
+    invariant = set()
+    for j, operand in enumerate(
+        o.strip().split("*/")[-1].strip() for o in rt.group(1).split(",")
+    ):
+        if operand in gtes:
+            invariant.add(j)
+    return invariant
+
+
+def _hlo_sharding_report(compiled):
+    """(max f32 elements MUTATED by any while loop, max collective transfer
+    elements) in the compiled module's HLO. Shapes in the HLO text are
+    per-device. The while carry is where the per-iteration state (alpha /
+    weights / Adam moments) lives; loop-invariant input-sized buffers that
+    XLA threads through the while tuple as pass-through slots (the raw
+    [N, s, d] features) are excluded — see _invariant_slots."""
+    import re
+
+    txt = compiled.as_text()
+    max_carry = 0
+    for m in re.finditer(
+        r"=\s*\(([^)]*)\)\s*while\([^)]*\), condition=%[^\s,}]+, "
+        r"body=%([^\s,}]+)",
+        txt,
+    ):
+        skip = _invariant_slots(txt, m.group(2))
+        slot = 0
+        for typ, shp in re.findall(
+            r"(f32|bf16|s32|u32|pred|f64|s64)\[([0-9,]*)\]", m.group(1)
+        ):
+            if typ == "f32" and shp and slot not in skip:
+                max_carry = max(max_carry, _elems(shp))
+            slot += 1
+    max_coll = 0
+    coll_re = re.compile(
+        r"= *\(?((?:f32|s32|u32|bf16|pred)\[[0-9,]*\][^)=]*?)\)? *"
+        r"(all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute)\("
+    )
+    for line in txt.splitlines():
+        m = coll_re.search(line)
+        if not m:
+            continue
+        els = sum(_elems(shp)
+                  for shp in re.findall(r"\[([0-9,]+)\]", m.group(1)))
+        max_coll = max(max_coll, els)
+    return max_carry, max_coll
+
+
+def _assert_state_stays_sharded(compiled, n_task, big_rows, big_cols,
+                                dp=4, tp=2):
+    """The big [n_task, big_rows, big_cols] iteration state must stay
+    (dp, tp)-sharded: loop-carried tensors bounded by its shard size (+25%
+    slop for padding), and no collective may move more than one shard of it
+    (a reduce-scatter producing a shard is fine; a full per-dp gather —
+    2x the shard — is the regression)."""
+    shard_elems = (n_task // dp) * big_rows * (big_cols // tp)
+    max_carry, max_coll = _hlo_sharding_report(compiled)
+    assert max_carry > 0, "no while loop found in the compiled HLO"
+    assert max_carry <= shard_elems * 1.25, (
+        f"a loop-carried buffer of {max_carry} elements exceeds the "
+        f"[N/dp, {big_rows}, {big_cols}/tp] shard ({shard_elems}): the big "
+        f"state is being carried unsharded on a device"
+    )
+    assert max_coll <= shard_elems * 1.25, (
+        f"a collective moves {max_coll} elements (> one state shard, "
+        f"{shard_elems}): the big state is being gathered across tp"
+    )
+
+
+def test_hlo_sharding_em_dirichlet_zs_production():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, n, K = _IMAGENET_N, _IMAGENET_NQ, _IMAGENET_K
+    mesh = make_mesh(n_devices=8, tp=2)
+    x = jax.ShapeDtypeStruct(
+        (N, n, K), jnp.float32, sharding=NamedSharding(mesh, P("dp", None, None))
+    )
+    lam = jax.ShapeDtypeStruct((), jnp.float32)
+    compiled = em_dirichlet_infer.lower(
+        x, lam, n_iter=4, iter_mm=38, hard=False, solver="minka",
+        compact=True, compact_first=True, early_stop=True, mesh=mesh,
+    ).compile()
+    _assert_state_stays_sharded(compiled, N, K, K)
+
+
+def test_hlo_sharding_em_dirichlet_fs_production():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transductive_clip_tpu.methods.few_shot.em_dirichlet import (
+        em_dirichlet_fs_infer,
+    )
+
+    N, n, K, shots = _IMAGENET_N, _IMAGENET_NQ, _IMAGENET_K, 1
+    mesh = make_mesh(n_devices=8, tp=2)
+    dp3 = NamedSharding(mesh, P("dp", None, None))
+    xs = jax.ShapeDtypeStruct((N, K * shots, K), jnp.float32, sharding=dp3)
+    xq = jax.ShapeDtypeStruct((N, n, K), jnp.float32, sharding=dp3)
+    ys = jax.ShapeDtypeStruct((N, K * shots), jnp.int32,
+                              sharding=NamedSharding(mesh, P("dp", None)))
+    lam = jax.ShapeDtypeStruct((), jnp.float32)
+    compiled = em_dirichlet_fs_infer.lower(
+        xs, xq, ys, lam, n_iter=4, iter_mm=38, n_class=K, hard=False,
+        solver="minka", early_stop=True, compact=True, mesh=mesh,
+    ).compile()
+    _assert_state_stays_sharded(compiled, N, K, K)
+
+
+def test_hlo_sharding_tim():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+
+    N, n, K, shots = _IMAGENET_N, _IMAGENET_NQ, _IMAGENET_K, 1
+    d = K  # softmax features: feature dim == n_class
+    mesh = make_mesh(n_devices=8, tp=2)
+    dp3 = NamedSharding(mesh, P("dp", None, None))
+    xs = jax.ShapeDtypeStruct((N, K * shots, d), jnp.float32, sharding=dp3)
+    xq = jax.ShapeDtypeStruct((N, n, d), jnp.float32, sharding=dp3)
+    ys = jax.ShapeDtypeStruct((N, K * shots), jnp.int32,
+                              sharding=NamedSharding(mesh, P("dp", None)))
+    scalar = jax.ShapeDtypeStruct((), jnp.float32)
+    lw = jax.ShapeDtypeStruct((3,), jnp.float32)
+    compiled = tim_infer.lower(
+        xs, xq, ys, scalar, scalar, lw, n_iter=4, n_class=K,
+        entropies=("Shannon", "Alpha", "Alpha"), lr=1e-4, mesh=mesh,
+    ).compile()
+    # weights + both Adam moments are [N, K, d] sharded (dp, None, tp)
+    _assert_state_stays_sharded(compiled, N, K, d)
+
+
+def test_hlo_checker_detects_a_gathered_state():
+    """Teeth: the exact regression shape this suite guards against — an op
+    that merges the tp-sharded trailing axis into a flat one (what deleting
+    the sharding annotations and reintroducing a reshape-based criterion
+    produces) — must trip the assertion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, K = _IMAGENET_N, 256
+    mesh = make_mesh(n_devices=8, tp=2)
+
+    def bad(q):
+        def step(alpha, _):
+            alpha = jax.lax.with_sharding_constraint(
+                alpha * 1.01, NamedSharding(mesh, P("dp", None, "tp"))
+            )
+            # reshape defeats the tp sharding -> GSPMD all-gathers alpha
+            crit = jnp.linalg.norm(alpha.reshape(N, -1), axis=-1)
+            return alpha, crit
+
+        alpha0 = jnp.ones((N, K, K), jnp.float32) * q[:, None, None]
+        _, crits = jax.lax.scan(step, alpha0, None, length=3)
+        return crits
+
+    x = jax.ShapeDtypeStruct((N,), jnp.float32,
+                             sharding=NamedSharding(mesh, P("dp")))
+    compiled = jax.jit(bad).lower(x).compile()
+    with pytest.raises(AssertionError, match="gathered across tp"):
+        _assert_state_stays_sharded(compiled, N, K, K)

@@ -245,9 +245,14 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         return u, alpha, l12, l3, idx, diff_ss, delta_ss, pop
 
     def crit_fn(alpha_old, alpha):
-        # (mean, max): mean recorded (reference parity), max gates early stop
-        diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
-        denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
+        # (mean, max): mean recorded (reference parity), max gates early
+        # stop. Axis reductions, NOT reshape(n_task, -1) + linalg.norm:
+        # merging the tp-sharded class axis into a flat axis makes GSPMD
+        # all-gather the full per-task [K, K] alpha onto every device
+        # (see the zero-shot module's _criterion and
+        # tests/test_parallel.py::test_hlo_sharding_*).
+        diff = jnp.sqrt(jnp.sum((alpha_old - alpha) ** 2, axis=(1, 2)))
+        denom = jnp.sqrt(jnp.sum(alpha_old ** 2, axis=(1, 2)))
         rel = diff / denom
         return jnp.mean(rel), jnp.max(rel)
 
@@ -294,7 +299,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         l12, l3 = dirichlet_logits_cache(log_q, alpha2)
         l3 = con(l3, "dp", None, None)
         u = finish_step(u, l12, l3)
-        ss = jnp.sum(alpha2.reshape(n_task, -1) ** 2, axis=-1)
+        ss = jnp.sum(alpha2 ** 2, axis=(1, 2))
         crits = jnp.where(jnp.arange(n_iter) >= 1, crit, crits0)
         return (u, alpha2, l12, l3, ss, idx, jnp.array(2, jnp.int32),
                 crits, crit_max, pop)
@@ -305,7 +310,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
             # early stop fired after iteration 1 (first_max < tol): carry
             # everything through unchanged; the while_loop below won't run
             u, alpha1 = ops
-            ss = jnp.sum(alpha1.reshape(n_task, -1) ** 2, axis=-1)
+            ss = jnp.sum(alpha1 ** 2, axis=(1, 2))
             return (u, alpha1, l12, l3, ss, idx_dummy,
                     jnp.array(1, jnp.int32), crits0, first_max, pop0)
 
@@ -315,7 +320,7 @@ def em_dirichlet_fs_infer(support, query, y_s, lambd,
         else:
             carry0 = transition_step((u, alpha))
     else:
-        ss = (jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1)
+        ss = (jnp.sum(alpha ** 2, axis=(1, 2))
               if use_compact else jnp.zeros((n_task,), jnp.float32))
         carry0 = (u, alpha, l12, l3, ss, idx_dummy,
                   jnp.array(1, jnp.int32), crits0, first_max, pop0)

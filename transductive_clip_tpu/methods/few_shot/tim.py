@@ -24,7 +24,8 @@ from .paddle import support_class_means
 from ...ops.precision import f32_einsum
 
 
-def _tim_logits(weights, samples, temp, precision: str = "highest"):
+def _tim_logits(weights, samples, temp, precision: str = "highest",
+                x2=None):
     """temp * (x.w - ||w||^2/2 - ||x||^2/2) (reference: tim.py:99-113).
 
     ``precision='highest'`` (default) reproduces fp32 matmuls like the
@@ -32,14 +33,20 @@ def _tim_logits(weights, samples, temp, precision: str = "highest"):
     accumulation — the Adam loop is a 1000-step contraction-bound scan, so
     this is the whole method's throughput knob (``tim_matmul_precision``
     config; accuracy equivalence vs the reference is tested).
+
+    ``x2``: optional precomputed 0.5*||x||^2 [N, n]. The samples are
+    loop-invariant across the Adam scan, so callers hoist this — at the
+    ImageNet protocol the [N, 4000, d] squared-support tensor is ~400 MB of
+    HBM traffic per step otherwise.
     """
     if precision == "highest":
         xw = f32_einsum("tnd,tkd->tnk", samples, weights)
     else:
         xw = jnp.einsum("tnd,tkd->tnk", samples, weights)
     w2 = 0.5 * jnp.sum(weights * weights, axis=-1)[:, None, :]
-    x2 = 0.5 * jnp.sum(samples * samples, axis=-1)[:, :, None]
-    return temp * (xw - w2 - x2)
+    if x2 is None:
+        x2 = 0.5 * jnp.sum(samples * samples, axis=-1)
+    return temp * (xw - w2 - x2[:, :, None])
 
 
 def _cross_entropy(y_one_hot, probs_s, kind: str, alpha_value):
@@ -146,11 +153,17 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     """Returns (u_q [N, n, K] from last-iteration logits, criterions [n_iter]).
 
     ``mesh``: optional (dp, tp) mesh — tasks shard over dp; the class
-    weights' feature axis (and the Adam moments with it) shards over tp, so
-    the per-chip optimizer state is N/dp * K * d/tp and the logits
-    contraction psums over ICI. This is the memory-bound method of the
-    suite (autodiff residuals over [N, n_class*shots, K] support logits);
-    TP is how batches that exceed one chip's HBM run.
+    weights' CLASS axis (and the Adam moments with it) shards over tp, so
+    the per-chip optimizer state is N/dp * K/tp * d. Class-row sharding is
+    the communication-optimal layout here: the logits contraction keeps d
+    local (logits [N, n, K/tp] per device with no collective), the per-step
+    autodiff residuals over the [N, n_class*shots, K] support logits shard
+    with it, and the only collectives are the O(N*n) softmax row statistics
+    psumming over ICI. (Feature-axis sharding — the round-3 layout — forced
+    a per-Adam-step O(N*s*K) reduction instead; caught by
+    tests/test_parallel.py::test_hlo_sharding_tim.) This is the
+    memory-bound method of the suite; TP is how batches that exceed one
+    chip's HBM run.
 
     ``grad_impl='manual'`` computes the loss gradient in closed form (the
     same equations autodiff evaluates: softmax jacobians of the three
@@ -165,13 +178,17 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
 
     def con_w(tree):
         return jax.tree.map(
-            lambda t: con(t, "dp", None, "tp") if getattr(t, "ndim", 0) == 3
+            lambda t: con(t, "dp", "tp", None) if getattr(t, "ndim", 0) == 3
             else t,
             tree,
         )
 
     support = con(support, "dp", None, None)
     query = con(query, "dp", None, None)
+    # loop-invariant sample norms, hoisted out of the Adam scan (see
+    # _tim_logits)
+    x2_s = 0.5 * jnp.sum(support * support, axis=-1)
+    x2_q = 0.5 * jnp.sum(query * query, axis=-1)
     y_one_hot = get_one_hot(y_s, n_class) if ce_impl == "onehot" else None
     w0 = con_w(support_class_means(support, y_s, n_class))
     opt = optax.adam(lr)
@@ -201,8 +218,15 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
     opt_state0 = compress_state(con_w(opt.init(w0)))
 
     def loss_fn(weights):
-        logits_s = _tim_logits(weights, support, temp, precision)
-        logits_q = _tim_logits(weights, query, temp, precision)
+        # the [N, s, K] / [N, n, K] logits (and, through autodiff, their
+        # cotangents — the dominant per-step residuals) stay sharded on the
+        # class axis with the weights
+        logits_s = con(_tim_logits(weights, support, temp, precision,
+                                   x2=x2_s),
+                       "dp", None, "tp")
+        logits_q = con(_tim_logits(weights, query, temp, precision,
+                                   x2=x2_q),
+                       "dp", None, "tp")
         q_probs = jax.nn.softmax(logits_q, axis=2)
         if ce_impl == "onehot":
             probs_s = jax.nn.softmax(logits_s, axis=2)
@@ -239,7 +263,8 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
                 x_prep, y_prep, weights, temp, ce_scale, alpha_value,
                 n_support, d_feat, ce_kind=entropies[0], precision=precision,
             )
-            logits_q = _tim_logits(weights, query, temp, precision)
+            logits_q = _tim_logits(weights, query, temp, precision,
+                                   x2=x2_q)
             g_q = _query_grad(
                 jax.nn.softmax(logits_q, axis=2), entropies, alpha_value,
                 loss_weights,
@@ -261,11 +286,13 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
         order = jnp.argsort(y_s, axis=1)
         y_sorted = jnp.take_along_axis(y_s, order, axis=1)
         x_sorted = jnp.take_along_axis(support, order[..., None], axis=1)
+        x2_sorted = jnp.take_along_axis(x2_s, order, axis=1)
         contract = (f32_einsum if precision == "highest" else jnp.einsum)
 
         def grad_fn(weights):
             # support CE: G_s = w0 * coef * (p_s - onehot) / n_support
-            logits_s = _tim_logits(weights, x_sorted, temp, precision)
+            logits_s = _tim_logits(weights, x_sorted, temp, precision,
+                                   x2=x2_sorted)
             coef, lse = _ce_grad_coef(
                 y_sorted, logits_s, entropies[0], alpha_value
             )
@@ -280,7 +307,8 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
             col = g_plain.sum(axis=1) - coef_r.sum(axis=2)
 
             # query entropy terms
-            logits_q = _tim_logits(weights, query, temp, precision)
+            logits_q = _tim_logits(weights, query, temp, precision,
+                                   x2=x2_q)
             g_q = _query_grad(
                 jax.nn.softmax(logits_q, axis=2), entropies, alpha_value,
                 loss_weights,
@@ -296,7 +324,7 @@ def tim_infer(support, query, y_s, temp, alpha_value, loss_weights,
             (_, logits_q), grads = _grad_fn(weights)
             return (None, logits_q), grads
 
-    logits_q0 = _tim_logits(w0, query, temp, precision)
+    logits_q0 = _tim_logits(w0, query, temp, precision, x2=x2_q)
 
     def step(carry, _):
         weights, opt_state, _ = carry

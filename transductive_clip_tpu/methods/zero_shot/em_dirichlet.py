@@ -200,11 +200,18 @@ def _em_step_compact(u, alpha_old, l12, l3, log_query, lambd, n_query,
 def _criterion(alpha_old, alpha):
     """(mean, max) per-task relative alpha change. The mean matches the
     reference's recorded criterion; the max gates early stopping so no task
-    is frozen mid-trajectory."""
-    n_task = alpha.shape[0]
-    diff = jnp.linalg.norm((alpha_old - alpha).reshape(n_task, -1), axis=-1)
-    denom = jnp.linalg.norm(alpha_old.reshape(n_task, -1), axis=-1)
-    rel = diff / denom
+    is frozen mid-trajectory.
+
+    Axis reductions, NOT ``reshape(n_task, -1)`` + ``linalg.norm``: merging
+    the tp-sharded class axis into an unsharded flat axis makes GSPMD
+    all-gather the full per-task [K, K] alpha onto every device (measured:
+    two 8 MB/device all-gathers at ImageNet shapes on a (4,2) mesh), while a
+    ``sum`` over the sharded axes lowers to a partial reduction + an [N]
+    all-reduce. ``tests/test_parallel.py::test_hlo_sharding_*`` guards
+    this."""
+    diff_ss = jnp.sum((alpha_old - alpha) ** 2, axis=(1, 2))
+    denom_ss = jnp.sum(alpha_old ** 2, axis=(1, 2))
+    rel = jnp.sqrt(diff_ss) / jnp.sqrt(denom_ss)
     return jnp.mean(rel), jnp.max(rel)
 
 
@@ -306,8 +313,9 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         first_crit, first_max = _criterion(alpha_old, alpha)
         if use_compact:
             # carried ||alpha||^2 for the compact criterion (one full read,
-            # once, fused with the first criterion's reads)
-            ss = jnp.sum(alpha.reshape(n_task, -1) ** 2, axis=-1)
+            # once, fused with the first criterion's reads; axis reduction —
+            # see _criterion for why no reshape)
+            ss = jnp.sum(alpha ** 2, axis=(1, 2))
     crits0 = jnp.full((n_iter,), first_crit, jnp.float32)
 
     def body(carry):
