@@ -189,6 +189,89 @@ def test_compact_first_guard_keeps_fast_path_on_peaked_features(rng):
     assert method._cf_guard_pending is False
 
 
+def test_compact_first_guard_periodic_recheck_catches_mid_eval_drift(rng):
+    """A flat-feature batch arriving mid-evaluation (after the first-batch
+    guard passed) must still be caught by the periodic re-check
+    (``compact_first_recheck``) and trigger the permanent fallback
+    (VERDICT r3 next #5)."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    n_class, n_query = 300, 20
+    x_peaked, y_peaked = make_simplex_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class, k_eff=6,
+        concentration=60.0
+    )
+    x_flat, y_flat = _flat_feature_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class
+    )
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=n_query, T=30,
+        use_softmax_feature=True, graph_matching=False, iter=8, iter_mm=300,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=False,
+        compact_first_recheck=1,   # re-check every other batch
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        # batch 0: first-batch guard passes on peaked features
+        method.run_task({"x_q": x_peaked, "y_q": y_peaked[..., None]})
+        assert method.compact_first is True
+        # batch 1: no check due (counter below cadence)
+        method.run_task({"x_q": x_peaked, "y_q": y_peaked[..., None]})
+        assert method.compact_first is True
+        assert not caught
+        # batch 2: periodic re-check due — the flat batch must trip it
+        logs = method.run_task({"x_q": x_flat, "y_q": y_flat[..., None]})
+    assert any("compact_first_iter deviated" in str(w.message)
+               for w in caught)
+    assert method.compact_first is False
+
+    # the guarded result must equal the exact-first-iteration path
+    cfg_exact = CfgNode(dict(cfg, compact_first_iter=False))
+    logs_exact = get_zero_shot_method("EM_DIRICHLET", args=cfg_exact).run_task(
+        {"x_q": x_flat, "y_q": y_flat[..., None]})
+    np.testing.assert_array_equal(logs["preds"], logs_exact["preds"])
+
+
+def test_compact_first_recheck_zero_is_first_batch_only(rng):
+    """``compact_first_recheck: 0`` restores the round-3 first-batch-only
+    guard: a mid-evaluation flat batch is NOT re-checked."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    n_class, n_query = 300, 20
+    x_peaked, y_peaked = make_simplex_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class, k_eff=6,
+        concentration=60.0
+    )
+    x_flat, y_flat = _flat_feature_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class
+    )
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=n_query, T=30,
+        use_softmax_feature=True, graph_matching=False, iter=8, iter_mm=300,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=False,
+        compact_first_recheck=0,
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    method.run_task({"x_q": x_peaked, "y_q": y_peaked[..., None]})
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        method.run_task({"x_q": x_flat, "y_q": y_flat[..., None]})
+    assert not any("compact_first_iter deviated" in str(w.message)
+                   for w in caught)
+    assert method.compact_first is True
+
+
 def test_fast_tier_equals_wide_tier(rng):
     """The two-tier compact step's fast path (n_fast solve rows) must
     produce bit-identical results to the wide tier whenever the

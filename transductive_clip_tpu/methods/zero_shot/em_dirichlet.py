@@ -27,11 +27,13 @@ and hard_em_dirichlet.py:124-271) re-designed for TPU:
   at protocol-like feature peaking (verified up to K=1000,
   tests/test_compaction.py) yet can deviate on very flat features, and no
   post-hoc sparsity check can detect an iteration-1 deviation. The default
-  ``'auto'`` therefore runs it behind a first-batch guard: the wrapper
-  re-solves the first task batch with the exact first iteration, compares
-  predictions, and permanently falls back (loudly) on any mismatch — one
-  extra batch per evaluation, amortized. ``True`` skips the guard;
-  ``False`` disables; ``compact_clusters: False`` is the fully exact path.
+  ``'auto'`` therefore runs it behind a guard: the wrapper re-solves the
+  first task batch — and every ``compact_first_recheck``-th batch after it
+  (default 64; <= 0 restores first-batch-only) — with the exact first
+  iteration, compares predictions, and permanently falls back (loudly) on
+  any mismatch — one extra batch per check, amortized. ``True`` skips the
+  guard; ``False`` disables; ``compact_clusters: False`` is the fully
+  exact path.
 """
 
 from __future__ import annotations
@@ -394,6 +396,15 @@ class EM_DIRICHLET(TransductiveMethod):
             )
         self.compact_first = cf in (True, "auto")
         self._cf_guard_pending = cf == "auto"
+        self._cf_guard_auto = cf == "auto"
+        # periodic re-verification cadence (batches between guard re-runs;
+        # <= 0 keeps the first-batch-only guard). Tasks are i.i.d. within an
+        # evaluation so the first-batch check covers the typical case, but
+        # an iteration-1 deviation is the one shortcut undetectable post
+        # hoc — re-checking every M batches bounds the exposure at the same
+        # amortized (untimed-overhead) cost.
+        self._cf_recheck = int(args.get("compact_first_recheck", 64))
+        self._cf_batches_since_check = 0
         self.early_stop = bool(args.get("early_stop", True))
         self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
         from ..base import compact_select_impl
@@ -445,14 +456,23 @@ class EM_DIRICHLET(TransductiveMethod):
         cf_engaged = (self.compact_first and self.compact
                       and compaction_geometry(n_query, n_class)[1])
         out = self._run_infer(task["x_q"], self.compact_first)
-        if cf_engaged and self._cf_guard_pending:
-            # first-batch guard: iteration-1 compaction is the one shortcut
-            # whose deviation is undetectable post hoc (the module docstring
-            # explains why), so the first batch is re-solved with the exact
-            # first iteration and the predictions compared. One extra batch
-            # per evaluation, amortized across all batches. The duplicate
-            # solve is verification, not method cost: it is timed here and
-            # excluded from run_task's honest timestamps (methods/base.py).
+        guard_due = cf_engaged and self._cf_guard_auto and (
+            self._cf_guard_pending
+            or (self._cf_recheck > 0
+                and self._cf_batches_since_check >= self._cf_recheck)
+        )
+        if cf_engaged and not guard_due:
+            self._cf_batches_since_check += 1
+        if guard_due:
+            # guard: iteration-1 compaction is the one shortcut whose
+            # deviation is undetectable post hoc (the module docstring
+            # explains why), so the first batch — and, with
+            # ``compact_first_recheck`` > 0, every M-th batch after it — is
+            # re-solved with the exact first iteration and the predictions
+            # compared. One extra batch per check, amortized across the
+            # evaluation. The duplicate solve is verification, not method
+            # cost: it is timed here and excluded from run_task's honest
+            # timestamps (methods/base.py).
             import time as _time
 
             from ...ops.common import device_sync
@@ -463,16 +483,20 @@ class EM_DIRICHLET(TransductiveMethod):
             same = bool(jnp.array_equal(jnp.argmax(out[0], axis=-1),
                                         jnp.argmax(exact[0], axis=-1)))
             self._untimed_overhead_s = _time.perf_counter() - t_guard
+            first_check = self._cf_guard_pending
             self._cf_guard_pending = False
+            self._cf_batches_since_check = 0
+            which = ("first-batch" if first_check
+                     else f"periodic (every {self._cf_recheck} batches)")
             if same:
                 self._log(
-                    "compact_first_iter: first-batch predictions match the "
+                    f"compact_first_iter: {which} predictions match the "
                     "exact first iteration; keeping the fast path"
                 )
             else:
                 msg = (
                     "compact_first_iter deviated from the exact first "
-                    "iteration on the first task batch (flat features?); "
+                    f"iteration on a {which} guard check (flat features?); "
                     "falling back to the exact path for this evaluation"
                 )
                 if self.logger is not None:
