@@ -1,0 +1,93 @@
+"""utils/compile_cache.py — fingerprinted cache dir + AOT-spam quarantine.
+
+The quarantine keeps XLA:CPU AOT-rejection C++ log lines (fd-2 writes that
+bypass sys.stderr) out of the driver-recorded artifacts and clears the
+poisoned cache dir so the next run recompiles cleanly (VERDICT r3 next #8).
+"""
+
+import os
+import sys
+
+from transductive_clip_tpu.utils import compile_cache as cc
+
+SPAM = (b"E0000 00:00:1787111111.111111 1 cpu_aot_loader.cc:66] "
+        b"Feature mismatch: compiled for +avx512f\n")
+
+
+def _run_quarantined(write_fn, tmp_path, monkeypatch):
+    """Run write_fn inside the quarantine while capturing REAL fd 2."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "entry.bin").write_bytes(b"aot")
+    monkeypatch.setattr(cc, "compile_cache_dir",
+                        lambda prefix=None: str(cache))
+    outer = os.dup(2)
+    cap = open(tmp_path / "captured.log", "w+b")
+    os.dup2(cap.fileno(), 2)
+    try:
+        with cc.quarantine_aot_spam():
+            write_fn()
+    finally:
+        sys.stderr.flush()
+        os.dup2(outer, 2)
+        os.close(outer)
+    cap.seek(0)
+    data = cap.read()
+    cap.close()
+    return data, cache
+
+
+def test_spam_dropped_real_lines_reemitted_cache_cleared(tmp_path,
+                                                         monkeypatch):
+    def write():
+        os.write(2, SPAM)                      # C++-style direct fd write
+        os.write(2, b"a real error line\n")
+        os.write(2, SPAM)
+        print("python-level stderr", file=sys.stderr, flush=True)
+
+    data, cache = _run_quarantined(write, tmp_path, monkeypatch)
+    assert b"cpu_aot_loader" not in data
+    assert b"a real error line\n" in data
+    assert b"python-level stderr\n" in data
+    assert b"dropped 2 XLA:CPU AOT-rejection" in data
+    assert not cache.exists(), "poisoned cache dir must be cleared"
+
+
+def test_no_spam_is_a_noop(tmp_path, monkeypatch):
+    def write():
+        os.write(2, b"ordinary warning\n")
+
+    data, cache = _run_quarantined(write, tmp_path, monkeypatch)
+    assert b"ordinary warning\n" in data
+    assert b"AOT-rejection" not in data
+    assert cache.exists(), "clean cache must be kept"
+
+
+def test_exception_inside_block_still_restores_and_reemits(tmp_path,
+                                                           monkeypatch):
+    def write():
+        os.write(2, SPAM)
+        raise RuntimeError("boom")
+
+    import pytest
+
+    outer = os.dup(2)
+    cap = open(tmp_path / "captured.log", "w+b")
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setattr(cc, "compile_cache_dir",
+                        lambda prefix=None: str(cache))
+    os.dup2(cap.fileno(), 2)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            with cc.quarantine_aot_spam():
+                write()
+    finally:
+        sys.stderr.flush()
+        os.dup2(outer, 2)
+        os.close(outer)
+    cap.seek(0)
+    data = cap.read()
+    cap.close()
+    assert b"cpu_aot_loader" not in data
+    assert b"dropped 1 XLA:CPU AOT-rejection" in data

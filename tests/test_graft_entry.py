@@ -41,6 +41,13 @@ def test_dryrun_multichip_self_provisions_driver_convention():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip ok" in proc.stdout
+    # artifact-tail contract (the driver records the output tail): the ok
+    # line must be the LAST stdout line — AOT-rejection spam is quarantined
+    # by utils/compile_cache.py and re-emitted to stderr before it
+    last = proc.stdout.strip().splitlines()[-1]
+    assert last.startswith("dryrun_multichip ok"), proc.stdout[-500:]
+    assert "cpu_aot_loader" not in proc.stdout
+    assert "cpu_aot_loader" not in proc.stderr
 
 
 @pytest.mark.slow

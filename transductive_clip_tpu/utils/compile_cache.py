@@ -10,6 +10,7 @@ flags (plus the hostname for readability).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import platform
@@ -82,3 +83,63 @@ def enable_compile_cache(jax, min_compile_secs: float = 1.0) -> str:
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs
     )
     return path
+
+
+@contextlib.contextmanager
+def quarantine_aot_spam(clear_cache_on_rejection: bool = True):
+    """Keep XLA:CPU AOT-rejection log spam out of recorded artifacts.
+
+    Despite the fingerprinted cache dir, live migrations and stale
+    pre-fingerprint entries can still hand XLA an AOT artifact compiled for
+    different CPU features; XLA rejects each one gracefully but logs a C++
+    ``cpu_aot_loader.cc`` E-line per entry — hundreds of lines that bury the
+    one ok/summary line the driver records (bench.py JSON,
+    ``dryrun_multichip ok``). This context manager redirects stderr at the
+    FD level (C++ glog writes to fd 2 directly, bypassing sys.stderr) into a
+    temp file for the wrapped compile-heavy section, then re-emits every
+    non-spam line and a one-line count of what was dropped. A rejection also
+    means the cache dir is poisoned for this host, so it is cleared
+    (``clear_cache_on_rejection``) — the next run recompiles once and
+    re-caches cleanly instead of re-spamming forever.
+
+    Callers print their summary line AFTER the with-block so it is the last
+    thing in the artifact.
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.stderr.flush()
+    saved = os.dup(2)
+    tmp = tempfile.NamedTemporaryFile(
+        prefix="tclip_stderr_", suffix=".log", delete=False
+    )
+    os.dup2(tmp.fileno(), 2)
+    try:
+        yield
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)
+        os.close(saved)
+        tmp.close()
+        dropped = 0
+        try:
+            with open(tmp.name, "rb") as f:
+                for line in f.read().splitlines(keepends=True):
+                    if b"cpu_aot_loader" in line:
+                        dropped += 1
+                    else:
+                        os.write(2, line)
+            os.unlink(tmp.name)
+        except OSError:
+            pass
+        if dropped:
+            msg = (f"[compile-cache] dropped {dropped} XLA:CPU AOT-rejection "
+                   f"log lines")
+            if clear_cache_on_rejection:
+                import shutil
+
+                path = compile_cache_dir()
+                shutil.rmtree(path, ignore_errors=True)
+                msg += f"; cleared poisoned cache dir {path}"
+            print(msg, file=sys.stderr, flush=True)
