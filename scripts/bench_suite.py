@@ -69,6 +69,16 @@ def main():
                     help="benchmark CLIP image encoding: device-resident "
                          "batch (pure compute, reports MFU) vs host batch "
                          "(includes the transfer) for ViT-B/16 and RN50")
+    ap.add_argument("--matching-divergence", action="store_true",
+                    help="measure (don't assert) how often the device "
+                         "auction's eps-optimal cluster->class assignment "
+                         "differs from the exact host JV solution, at "
+                         "protocol statistics and on a flat-feature stress "
+                         "distribution; reports task/query diff rates and "
+                         "the accuracy delta")
+    ap.add_argument("--div-tasks", type=int, default=10_000,
+                    help="total tasks per distribution for "
+                         "--matching-divergence")
     args = ap.parse_args()
     if args.quick:
         args.tasks, args.n_class = 8, 64
@@ -450,6 +460,137 @@ def main():
                 "acc": round(accs[name], 4),
                 "baseline_note": f"reference Table 2: {ref}s/task, "
                                  "unspecified GPU",
+            })
+
+        # ---- end-to-end fused few-shot pipeline (EM-Dirichlet) ----------
+        # The evaluator's steady-state batch: sample support+query indices
+        # on host, ship two int32 matrices, ONE program (device gathers +
+        # flip remap + method + argmax accuracy), combined end fetch. Note
+        # the [N, n_class*shots, K] support statistics are per-BATCH work
+        # by protocol design (the sampler redraws the support per task,
+        # reference: sampler_few_shot.py:64-76) — inside the program they
+        # are computed once per solve, outside the EM loop
+        # (methods/few_shot/em_dirichlet.py).
+        import jax as _jax
+
+        from transductive_clip_tpu.tasks import (
+            CategoriesSamplerFewShot,
+            SamplerQueryFewShot,
+            SamplerSupportFewShot,
+        )
+
+        per_class_s, per_class_q = shots * 2, 16
+        labels_s_tab = np.repeat(np.arange(n_class), per_class_s)
+        labels_q_tab = np.repeat(np.arange(n_class), per_class_q)
+        feats_s_dev = jnp.asarray(simplex(labels_s_tab[None, :])[0])
+        feats_q_dev = jnp.asarray(simplex(labels_q_tab[None, :])[0])
+        labels_s_dev = jnp.asarray(labels_s_tab, jnp.int32)
+        labels_q_dev = jnp.asarray(labels_q_tab, jnp.int32)
+        sampler = CategoriesSamplerFewShot(
+            fs_tasks, k_eff, n_class, shots, n_query,
+            force_query_size=True, rng=np.random.default_rng(0),
+        )
+        sampler.create_list_classes(labels_s_tab, labels_q_tab)
+        idx_s = np.stack(list(SamplerSupportFewShot(sampler)))
+        idx_q = np.stack(list(SamplerQueryFewShot(sampler)))
+
+        method_ff = methods["em_dirichlet"]        # warmed blocking above
+        res0 = method_ff.run_task_fused(
+            feats_s_dev, feats_q_dev, labels_s_dev, labels_q_dev,
+            idx_s, idx_q, shot=shots,
+        )
+        if res0 is None:
+            raise RuntimeError(
+                "few-shot run_task_fused unexpectedly fell back — a host "
+                "step remains inside the fused trace"
+            )
+        _jax.device_get(res0.handles)              # compile/warmup
+        n_rep = 3
+        t0 = time.perf_counter()
+        pending = [
+            method_ff.run_task_fused(
+                feats_s_dev, feats_q_dev, labels_s_dev, labels_q_dev,
+                idx_s, idx_q, shot=shots,
+            )
+            for _ in range(n_rep)
+        ]
+        host = _jax.device_get([r.handles for r in pending])
+        elapsed_ff = (time.perf_counter() - t0) / n_rep
+        logs_ff = pending[0].finalize(host[0], elapsed_ff / fs_tasks)
+        rows.append({
+            "metric": "end_to_end_few_shot_fused",
+            "value": round(elapsed_ff / fs_tasks * 1000, 2),
+            "unit": "ms/task",
+            "vs_baseline": round(
+                fs_refs["em_dirichlet"][1] * fs_tasks / elapsed_ff, 2
+            ),
+            "acc": round(float(np.mean(logs_ff["acc"][:, -1])), 4),
+            "baseline_note": "EM-Dirichlet 4-shot, fused_dispatch pipeline "
+                             f"(gather+remap+method+accuracy, one program/"
+                             f"batch), fetch amortized over {n_rep} batches",
+        })
+
+    # ---- auction-vs-exact assignment divergence (--matching-divergence) --
+    if args.matching_divergence:
+        # The device auction terminates at eps-complementary slackness
+        # (total value >= optimum - R*eps, ops/auction.py), so near-tied
+        # prototype margins CAN yield a different cluster->class assignment
+        # than the exact JV solver. This measures how often that actually
+        # happens, through the two REAL production paths (the fused device
+        # program vs the host JV branch of clustering_accuracy), on the
+        # same EM outputs: at protocol statistics and on a deliberately
+        # flat stress distribution (concentration 3 -> overlapping
+        # clusters, small margins). (reference: src/utils.py:380-417 exact
+        # Hungarian; PARITY.md 'Known intentional deviations')
+        from transductive_clip_tpu.core.config import CfgNode
+        from transductive_clip_tpu.methods.base import clustering_accuracy
+
+        div_batch = min(n_task, 100)
+        n_batches = max(1, args.div_tasks // div_batch)
+        for label, conc in (("protocol", 60.0), ("flat_conc3", 3.0)):
+            diff_tasks = diff_queries = total_q = 0
+            acc_dev_sum = acc_host_sum = 0.0
+            rng_d = np.random.default_rng(7)
+            for b in range(n_batches):
+                xb, yb = make_zero_shot_tasks(
+                    rng_d, div_batch, n_query, n_class, concentration=conc
+                )
+                ub, _ = em_dirichlet_infer(
+                    jnp.asarray(xb), lambd, n_iter=20, iter_mm=1000,
+                    hard=False, solver=fast_solver, compact_first=True,
+                )
+                base = dict(n_class=n_class, num_classes_test=n_class,
+                            T=30, use_softmax_feature=True,
+                            graph_matching=True, proto_device=True)
+                acc_d, preds_d = clustering_accuracy(
+                    ub, jnp.asarray(xb), yb,
+                    CfgNode(dict(base, matching_backend="device")),
+                )
+                acc_h, preds_h = clustering_accuracy(
+                    ub, jnp.asarray(xb), yb,
+                    CfgNode(dict(base, matching_backend="host")),
+                )
+                neq = np.asarray(preds_d) != np.asarray(preds_h)
+                diff_tasks += int(neq.any(axis=1).sum())
+                diff_queries += int(neq.sum())
+                total_q += neq.size
+                acc_dev_sum += float(np.sum(acc_d))
+                acc_host_sum += float(np.sum(acc_h))
+            n_total = n_batches * div_batch
+            rows.append({
+                "metric": f"matching_divergence_{label}",
+                "value": round(diff_tasks / n_total, 6),
+                "unit": "task_diff_rate",
+                "tasks_compared": n_total,
+                "tasks_differing": diff_tasks,
+                "query_diff_rate": round(diff_queries / total_q, 8),
+                "acc_device": round(acc_dev_sum / n_total, 6),
+                "acc_host_jv": round(acc_host_sum / n_total, 6),
+                "acc_delta": round(
+                    (acc_dev_sum - acc_host_sum) / n_total, 8
+                ),
+                "baseline_note": "device auction (eps=1e-5, gap <= R*eps) "
+                                 "vs exact host JV on identical EM outputs",
             })
 
     print()
