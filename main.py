@@ -73,8 +73,14 @@ def maybe_load_clip(args):
     from transductive_clip_tpu.eval.zero_shot import _parse_flag
 
     fold_bn = _parse_flag(args.get("clip_fold_bn", True), "clip_fold_bn")
+    # clip_fused_resnet: auto (fused Pallas identity bottlenecks on TPU when
+    # the BN fold is active) | True | False
+    fused = args.get("clip_fused_resnet", "auto")
+    if fused != "auto":
+        fused = _parse_flag(fused, "clip_fused_resnet")
     return clip_jax.load(args.backbone, compute_dtype=compute_dtype,
-                         attention_impl=attn_impl, fold_bn=fold_bn)
+                         attention_impl=attn_impl, fold_bn=fold_bn,
+                         fused_resnet=fused)
 
 
 def main():

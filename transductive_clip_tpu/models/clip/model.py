@@ -33,11 +33,15 @@ class CLIPModule(nn.Module):
     # fold_bn=True expects fold_resnet_params()-transformed weights (exact
     # BN-into-conv fold; resnet.py). ViT towers ignore it.
     fold_bn: bool = False
+    # fused_resnet=True routes identity bottlenecks through the fused
+    # Pallas kernel (requires fold_bn; ops/pallas_bottleneck.py)
+    fused_resnet: bool = False
 
     def setup(self):
         if self.cfg.vision.is_resnet:
             self.visual = ModifiedResNet(
-                self.cfg.vision, self.cfg.embed_dim, fold_bn=self.fold_bn
+                self.cfg.vision, self.cfg.embed_dim, fold_bn=self.fold_bn,
+                fuse_blocks=self.fused_resnet,
             )
         else:
             self.visual = VisionTransformer(
@@ -90,7 +94,8 @@ class JaxCLIP:
     """Host-side wrapper holding params + jitted encoders."""
 
     def __init__(self, cfg: CLIPConfig, params, compute_dtype=jnp.bfloat16,
-                 attention_impl: str = "auto", fold_bn: bool = True):
+                 attention_impl: str = "auto", fold_bn: bool = True,
+                 fused_resnet: str | bool = "auto"):
         self.cfg = cfg
         # the towers are frozen, so BatchNorm folds exactly into the conv
         # weights (resnet.py:fold_resnet_params) — production default; CLI
@@ -118,8 +123,17 @@ class JaxCLIP:
         self.attention_impl = _resolve_attention_impl(
             attention_impl, cfg, compute_dtype
         )
+        # fused ResNet bottlenecks: measured SLOWER than XLA's conv
+        # pipeline at every RN50 identity-block shape on v5e (0.65-0.95x;
+        # ops/pallas_bottleneck.py docstring + README roofline note), so
+        # 'auto' resolves to OFF — the kernel stays as an explicit opt-in
+        # for future hardware/Mosaic generations. Requires fold_bn.
+        if fused_resnet == "auto":
+            fused_resnet = False
+        self.fused_resnet = bool(fused_resnet) and self.fold_bn
         self.module = CLIPModule(cfg, attn_impl=self.attention_impl,
-                                 fold_bn=self.fold_bn)
+                                 fold_bn=self.fold_bn,
+                                 fused_resnet=self.fused_resnet)
 
         def _cast(tree, dtype):
             return jax.tree.map(
@@ -215,7 +229,7 @@ def checkpoint_path(backbone: str) -> str:
 
 def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
          compute_dtype=None, attention_impl: str = "auto",
-         fold_bn: bool = True):
+         fold_bn: bool = True, fused_resnet: str | bool = "auto"):
     """Returns (model, preprocess) like the reference's clip.load.
 
     ``compute_dtype``: ``jnp.bfloat16`` (default; MXU-native, ~1.5x
@@ -228,7 +242,10 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
     elsewhere) | 'fused' | 'xla' — CLI: ``clip_attention``.
 
     ``fold_bn``: fold frozen BatchNorms into the ResNet conv weights (exact;
-    resnet.py:fold_resnet_params). CLI: ``clip_fold_bn`` (default True)."""
+    resnet.py:fold_resnet_params). CLI: ``clip_fold_bn`` (default True).
+
+    ``fused_resnet``: 'auto' (fused Pallas identity bottlenecks on TPU when
+    fold_bn is active) | True | False — CLI: ``clip_fused_resnet``."""
     if backbone not in CLIP_CONFIGS:
         raise ValueError(
             f"Unknown backbone {backbone!r}; choose from {sorted(CLIP_CONFIGS)}"
@@ -252,6 +269,7 @@ def load(backbone: str = "RN50", allow_random: bool = False, seed: int = 0,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
     model = JaxCLIP(cfg, params, compute_dtype=compute_dtype,
-                    attention_impl=attention_impl, fold_bn=fold_bn)
+                    attention_impl=attention_impl, fold_bn=fold_bn,
+                    fused_resnet=fused_resnet)
     # uint8 preprocess: normalization happens on device (smaller transfers)
     return model, make_preprocess(cfg.vision.image_size, dtype="uint8")

@@ -46,15 +46,57 @@ def avg_pool(x, window, stride):
     return nn.avg_pool(x, (window, window), strides=(stride, stride))
 
 
+class _ConvParams(nn.Module):
+    """Registers conv kernel+bias params WITHOUT computing — the fused
+    bottleneck path needs the raw weights for the Pallas kernel, under the
+    exact param-tree names the converter/fold produce (``convN/kernel``,
+    ``convN/bias``)."""
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
     fold_bn: bool = False
+    # fuse=True routes identity blocks (stride 1, no downsample) through the
+    # fused Pallas kernel (ops/pallas_bottleneck.py) — requires fold_bn
+    # (the kernel consumes conv biases). Falls back to the XLA graph when
+    # the block's working set exceeds the kernel's VMEM budget.
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (self.fuse and self.fold_bn and not self.downsample
+                and self.stride == 1):
+            from ...ops.pallas_bottleneck import (
+                fused_bottleneck_supported,
+                fused_identity_bottleneck,
+            )
+
+            c = x.shape[-1]
+            c_mid = self.planes
+            if fused_bottleneck_supported(x.shape[1], x.shape[2], c, c_mid,
+                                          x.dtype):
+                k1, b1 = _ConvParams((1, 1, c, c_mid), c_mid, name="conv1")()
+                k2, b2 = _ConvParams((3, 3, c_mid, c_mid), c_mid,
+                                     name="conv2")()
+                k3, b3 = _ConvParams((1, 1, c_mid, c), c, name="conv3")()
+                return fused_identity_bottleneck(
+                    x, k1[0, 0].astype(x.dtype), b1,
+                    k2.astype(x.dtype), b2, k3[0, 0].astype(x.dtype), b3,
+                )
+
         def conv(features, kernel, name, y, **kw):
             y = nn.Conv(features, kernel, use_bias=self.fold_bn, name=name,
                         **kw)(y)
@@ -125,6 +167,9 @@ class ModifiedResNet(nn.Module):
     # fold_bn=True expects parameters produced by fold_resnet_params():
     # biased convs, no FrozenBatchNorm modules. Same math, fewer HBM passes.
     fold_bn: bool = False
+    # fuse_blocks=True runs the identity bottlenecks through the fused
+    # Pallas kernel (requires fold_bn; see Bottleneck.fuse)
+    fuse_blocks: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -156,6 +201,7 @@ class ModifiedResNet(nn.Module):
                     stride=stride if block == 0 else 1,
                     downsample=(block == 0),
                     fold_bn=self.fold_bn,
+                    fuse=self.fuse_blocks,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
             planes *= 2
