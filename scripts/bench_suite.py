@@ -363,15 +363,19 @@ def main():
             # link's fixed round trip (measured ~33 ms on degraded days),
             # which would otherwise be billed to "device compute"
             n_chain = 1 if args.quick else 8
+            # trailing dims flattened: a [.., 224, 3] minor pair would be
+            # lane-tiled 3 -> 128 in HBM (42x the bytes, OOM at batch 512)
             stack = jnp.asarray(rng_x.integers(
-                0, 256, (n_chain, batch, size, size, 3), dtype=np.uint8
+                0, 256, (n_chain, batch, size, size * 3), dtype=np.uint8
             ))
             device_sync(stack)
 
             @jax.jit
             def encode_chain(params, stack):
                 def step(_, xb):
-                    emb = model._encode_image(params, xb)
+                    emb = model._encode_image(
+                        params, xb.reshape(batch, size, size, 3)
+                    )
                     return None, jnp.sum(emb)
                 _, sums = jax.lax.scan(step, None, stack)
                 return sums
