@@ -4,12 +4,14 @@
 Task scale matches the paper's Table-2 timing column: batches of 100
 transductive tasks, n_query = 75, K = 1000 classes; the reference reports
 1.04 s/task for EM-Dirichlet on an (unspecified) GPU. This benchmark times
-the full jitted method in its production configuration — the Pallas
-inverse-digamma solver (same stationary equation as the reference's MM
-loop, adaptive iteration counts), cluster compaction, and outer-loop early
+the full jitted method in its production configuration — the Newton-Minka
+solver (same stationary equation as the reference's MM loop, adaptive
+iteration counts), cluster + task compaction, and outer-loop early
 stopping — i.e. end-to-end time to produce equivalent predictions for the
 same tasks, not a re-run of the reference's fixed 20 x 1000-iteration
-schedule. A cluster-purity assertion guards against perf-only regressions
+schedule. The number is AMORTIZED over ``N_BATCH`` distinct-seed batches
+(per-batch convergence varies ~4x; a single lucky batch is not a
+headline). A cluster-purity assertion guards against perf-only regressions
 that break the math. ``vs_baseline`` = speedup over the reference's 1.04
 s/task.
 
@@ -33,6 +35,7 @@ N_QUERY = 75
 N_CLASS = 1000
 N_ITER = 20
 ITER_MM = 1000
+N_BATCH = 4  # distinct-seed batches; headline = total tasks / total time
 
 
 
@@ -60,51 +63,64 @@ def _bench_body():
         em_dirichlet_infer,
     )
 
-    rng = np.random.default_rng(0)
-    x_np, y_np = make_zero_shot_tasks(rng, N_TASK, N_QUERY, N_CLASS)
-    x = jnp.asarray(x_np)
+    # multiple seeds, amortized: per-batch convergence varies a lot (seed 0
+    # happens to early-stop at ~5 EM iterations while typical batches carry
+    # 1-2 straggler tasks), so a single-batch number is a lottery draw. The
+    # headline is total tasks / total time over N_BATCH distinct batches —
+    # what an evaluation actually pays per batch in steady state.
+    batches = []
+    for seed in range(N_BATCH):
+        x_np, y_np = make_zero_shot_tasks(
+            np.random.default_rng(seed), N_TASK, N_QUERY, N_CLASS)
+        batches.append((jnp.asarray(x_np), y_np))
     lambd = jnp.float32(int(N_CLASS / 5) * N_QUERY)
 
     from transductive_clip_tpu.ops.common import device_sync
 
-    # compile + warmup. compact_first=True is the production default
-    # ('auto'): the evaluator verifies it against the exact first iteration
-    # on the first batch of every evaluation (methods/zero_shot/
-    # em_dirichlet.py), so steady-state batches run exactly this program.
-    u, crit = em_dirichlet_infer(
-        x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False, solver="minka",
-        compact_first=True,
-    )
-    device_sync(u)
-
-    # best of 3: the shared tunneled chip shows transient multi-second
-    # slowdown windows; the minimum is the uncontended number
-    elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        u, crit = em_dirichlet_infer(
+    def run(x):
+        # compact_first=True is the production default ('auto'): the
+        # evaluator verifies it against the exact first iteration on the
+        # first batch of every evaluation (methods/zero_shot/
+        # em_dirichlet.py), so steady-state batches run exactly this program.
+        return em_dirichlet_infer(
             x, lambd, n_iter=N_ITER, iter_mm=ITER_MM, hard=False,
             solver="minka", compact_first=True,
         )
-        device_sync(u)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+
+    # compile + warmup (one compile covers every batch: same shapes)
+    u, crit = run(batches[0][0])
+    device_sync(u)
+
+    # best of 2 per batch: the shared tunneled chip shows transient
+    # multi-second slowdown windows; the per-batch minimum is the
+    # uncontended number, summed across batches for the amortized headline
+    elapsed = 0.0
+    for x, _ in batches:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            u, crit = run(x)
+            device_sync(u)
+            best = min(best, time.perf_counter() - t0)
+        elapsed += best
 
     # correctness guard: the timed computation must actually cluster the
     # separable synthetic tasks (catches perf-only regressions that break
     # the math); argmax on device — only [N, n] ints cross the slow link
     import jax.numpy as jnp
 
-    clusters = np.asarray(jnp.argmax(u, axis=-1))
+    clusters = np.asarray(jnp.argmax(u, axis=-1))   # u = last timed batch
+    y_last = batches[-1][1]
     purities = []
     for t in range(4):
-        for c in np.unique(y_np[t]):
-            members = clusters[t][y_np[t] == c]
+        for c in np.unique(y_last[t]):
+            members = clusters[t][y_last[t] == c]
             counts = np.bincount(members)
             purities.append(counts.max() / len(members))
     assert np.mean(purities) > 0.95, f"clustering broke: purity {np.mean(purities)}"
     assert np.isfinite(np.asarray(crit)).all(), "non-finite criterion trace"
 
-    tasks_per_sec = N_TASK / elapsed
+    tasks_per_sec = N_TASK * N_BATCH / elapsed
     vs_baseline = tasks_per_sec * REFERENCE_SECONDS_PER_TASK
     return {
         "metric": "em_dirichlet_imagenet_zero_shot_throughput",

@@ -636,3 +636,84 @@ def test_fs_compact_select_rank_matches_topk(rng):
         )
         np.testing.assert_allclose(np.asarray(u_tk), np.asarray(u_rk),
                                    atol=1e-5)
+
+
+def _mixed_convergence_tasks(rng, n_task=8, n_query=20, n_class=120):
+    """Tasks with deliberately heterogeneous convergence speed: most are
+    sharply peaked (converge in a few EM iterations), the last two are
+    flatter (straggle near the tolerance) — the regime task compaction
+    targets."""
+    x_fast, _ = make_simplex_tasks(
+        rng, n_task=n_task - 2, n_query=n_query, n_class=n_class, k_eff=5,
+        concentration=80.0)
+    x_slow, _ = make_simplex_tasks(
+        rng, n_task=2, n_query=n_query, n_class=n_class, k_eff=5,
+        concentration=15.0)
+    return np.concatenate([x_fast, x_slow], axis=0)
+
+
+def test_task_compaction_matches_batch_max_schedule(rng):
+    """compact_tasks gathers straggler tasks into a narrow buffer once at
+    most that many remain unconverged; predictions must match the batch-max
+    early-stop schedule (compact_tasks=0) and the no-early-stop run."""
+    x = _mixed_convergence_tasks(rng)
+    lambd = float(int(120 / 5) * 20)
+    for hard in (False, True):
+        kw = dict(n_iter=20, iter_mm=200, hard=hard, solver="minka",
+                  compact=True, compact_first=True, return_n_iter=True)
+        u_ref, c_ref, it_ref, _ = em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), compact_tasks=0, **kw)
+        u_tc, c_tc, it_tc, _ = em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), compact_tasks=2, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(u_ref).argmax(-1), np.asarray(u_tc).argmax(-1),
+            err_msg=f"hard={hard}",
+        )
+        # trace keeps length n_iter, stays finite, iteration count bounded
+        assert np.asarray(c_tc).shape == (20,)
+        assert np.isfinite(np.asarray(c_tc)).all()
+        assert int(it_tc) <= 20
+        # exact (no-early-stop, no compaction of any kind) cross-check
+        u_ex, _ = em_dirichlet_infer(
+            jnp.asarray(x), jnp.float32(lambd), n_iter=20, iter_mm=200,
+            hard=hard, solver="minka", compact=False, early_stop=False)
+        np.testing.assert_array_equal(
+            np.asarray(u_ex).argmax(-1), np.asarray(u_tc).argmax(-1),
+            err_msg=f"hard={hard} vs exact",
+        )
+
+
+def test_task_compaction_uncompacted_cluster_path(rng):
+    """Task compaction composes with compact=False (full-width cluster
+    solves): the phase-2 narrow loop reuses the full step."""
+    x = _mixed_convergence_tasks(rng, n_class=40)
+    lambd = float(int(40 / 5) * 20)
+    kw = dict(n_iter=20, iter_mm=200, hard=False, solver="minka",
+              compact=False)
+    u_ref, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                  compact_tasks=0, **kw)
+    u_tc, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                 compact_tasks=2, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(u_ref).argmax(-1), np.asarray(u_tc).argmax(-1))
+
+
+def test_task_compaction_on_mesh(rng):
+    """The straggler gather/scatter must compose with a (dp, tp) mesh (tasks
+    dp-sharded; the narrow buffer respans dp)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    x = _mixed_convergence_tasks(rng)
+    lambd = float(int(120 / 5) * 20)
+    kw = dict(n_iter=12, iter_mm=200, hard=False, solver="minka",
+              compact=True, compact_first=True)
+    u_1d, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                 compact_tasks=4, **kw)
+    u_m, _ = em_dirichlet_infer(jnp.asarray(x), jnp.float32(lambd),
+                                compact_tasks=4, mesh=mesh, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(u_1d).argmax(-1), np.asarray(u_m).argmax(-1))
+    np.testing.assert_allclose(np.asarray(u_1d), np.asarray(u_m), atol=1e-5)
