@@ -100,6 +100,17 @@ def main():
     x_np, y_np = make_zero_shot_tasks(rng, n_task, n_query, n_class)
     x = jnp.asarray(x_np)
     lambd = jnp.float32(int(n_class / 5) * n_query)
+    # extra distinct-seed batches for the early-stopped (data-dependent
+    # schedule) rows: per-batch convergence varies ~4x, so those rows
+    # amortize over several batches instead of quoting the seed-0 lottery
+    # draw (the fixed-schedule reference-exact rows cost the same on any
+    # seed and keep the single batch)
+    N_AMORT = 4
+    x_batches = [x] + [
+        jnp.asarray(make_zero_shot_tasks(
+            np.random.default_rng(s), n_task, n_query, n_class)[0])
+        for s in range(1, N_AMORT)
+    ]
 
     class _StreamedRows(list):
         """Emit each row's JSON line the moment it is measured — a full run
@@ -112,16 +123,29 @@ def main():
 
     rows = _StreamedRows()
 
-    def bench_method(name, ref, **kw):
-        elapsed, (u, crit) = timed(em_dirichlet_infer, x, lambd, **kw)
-        per_task = elapsed / n_task
+    def bench_method(name, ref, amortize=False, **kw):
+        if amortize:
+            elapsed, total, u = 0.0, 0, None
+            for xb in x_batches:
+                e, (ub, crit) = timed(em_dirichlet_infer, xb, lambd,
+                                      repeats=2, **kw)
+                elapsed += e
+                total += n_task
+                if u is None:
+                    u = ub   # downstream acc_path consumes the seed-0 batch
+        else:
+            elapsed, (u, crit) = timed(em_dirichlet_infer, x, lambd, **kw)
+            total = n_task
+        per_task = elapsed / total
         rows.append({
             "metric": name,
-            "value": round(n_task / elapsed, 3),
+            "value": round(total / elapsed, 3),
             "unit": "tasks/sec",
             "seconds_per_task": round(per_task, 5),
             "vs_baseline": round(ref / per_task, 2),
-            "baseline_note": f"reference {ref}s/task, unspecified GPU",
+            "baseline_note": f"reference {ref}s/task, unspecified GPU"
+                             + (f"; amortized over {len(x_batches)} batches"
+                                if amortize else ""),
         })
         return u
 
@@ -134,13 +158,16 @@ def main():
     exact = dict(solver="mm", compact=False, early_stop=False)
     if not args.skip_zero_shot:
         u_soft = bench_method("headline_soft_production", REF_SOFT,
+                              amortize=True,
                               n_iter=20, iter_mm=1000, hard=False, **prod)
-        bench_method("headline_hard_production", REF_HARD,
+        bench_method("headline_hard_production", REF_HARD, amortize=True,
                      n_iter=10, iter_mm=1000, hard=True, **prod)
         # guard-tripped fallback configuration (full-width first iteration)
         bench_method("headline_soft_no_compact_first", REF_SOFT,
+                     amortize=True,
                      n_iter=20, iter_mm=1000, hard=False, **floor)
         bench_method("headline_hard_no_compact_first", REF_HARD,
+                     amortize=True,
                      n_iter=10, iter_mm=1000, hard=True, **floor)
         bench_method("reference_exact_soft", REF_SOFT,
                      n_iter=20, iter_mm=1000, hard=False, **exact)
