@@ -717,3 +717,95 @@ def test_task_compaction_on_mesh(rng):
     np.testing.assert_array_equal(
         np.asarray(u_1d).argmax(-1), np.asarray(u_m).argmax(-1))
     np.testing.assert_allclose(np.asarray(u_1d), np.asarray(u_m), atol=1e-5)
+
+
+def test_guard_does_not_fire_inside_deferred_dispatch(rng):
+    """``run_task_deferred`` must never host the compact_first guard: its
+    duplicate solve + device_sync would be billed to the deferred
+    pipeline's timed tail (the untimed-overhead exclusion only exists in
+    blocking ``run_task``). The batch counter still advances, and a later
+    blocking batch (the evaluator routes one every
+    ``compact_first_recheck`` batches) runs the due check."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    n_class, n_query = 300, 20
+    x_peaked, y_peaked = make_simplex_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class, k_eff=6,
+        concentration=60.0
+    )
+    x_flat, y_flat = _flat_feature_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class
+    )
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=n_query, T=30,
+        use_softmax_feature=True, graph_matching=False, iter=8, iter_mm=300,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=False,
+        compact_first_recheck=1,
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    method.run_task({"x_q": x_peaked, "y_q": y_peaked[..., None]})
+    assert method.compact_first is True
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = method.run_task_deferred(
+            {"x_q": x_flat, "y_q": y_flat[..., None]})
+    assert res is not None
+    assert not any("compact_first_iter deviated" in str(w.message)
+                   for w in caught)
+    assert method.compact_first is True          # guard did NOT run here
+    assert method._cf_batches_since_check >= 1   # but the cadence advanced
+
+    # the next blocking batch hosts the due re-check and catches the drift
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        method.run_task({"x_q": x_flat, "y_q": y_flat[..., None]})
+    assert any("compact_first_iter deviated" in str(w.message)
+               for w in caught)
+    assert method.compact_first is False
+
+
+def test_forced_guard_check_runs_on_next_blocking_batch(rng):
+    """``request_guard_check`` (the evaluator's routing hook) must force the
+    guard on the next blocking batch regardless of the internal counter,
+    and a tripped guard must drop any cached fused program (it was traced
+    with compact_first=True)."""
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+
+    n_class, n_query = 300, 20
+    x_peaked, y_peaked = make_simplex_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class, k_eff=6,
+        concentration=60.0
+    )
+    x_flat, y_flat = _flat_feature_tasks(
+        rng, n_task=4, n_query=n_query, n_class=n_class
+    )
+    cfg = CfgNode(dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=n_query, T=30,
+        use_softmax_feature=True, graph_matching=False, iter=8, iter_mm=300,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=False,
+        compact_first_recheck=1000,   # cadence alone would never fire
+    ))
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    assert method.guard_recheck_batches() == 1000
+    method.run_task({"x_q": x_peaked, "y_q": y_peaked[..., None]})
+    method._fused_zs = object()       # stand-in for a cached fused program
+
+    import warnings
+
+    method.request_guard_check()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        method.run_task({"x_q": x_flat, "y_q": y_flat[..., None]})
+    assert any("compact_first_iter deviated" in str(w.message)
+               for w in caught)
+    assert method.compact_first is False
+    assert method._fused_zs is None   # stale trace invalidated
+    assert method._cf_force_guard is False
+    assert method.guard_recheck_batches() == 0   # fast path off -> no cadence

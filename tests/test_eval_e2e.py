@@ -377,3 +377,38 @@ def test_few_shot_fused_visual_features_need_text(cfg_base, rng):
     res = method.run_task_fused(feats, feats, labs, labs, idx, idx,
                                 shot=2, text_features=None)
     assert res is None
+
+
+def test_evaluator_routes_periodic_guard_through_blocking_batches(
+        cfg_base, rng, monkeypatch):
+    """The deferred/fused pipelines never re-execute the method's Python
+    ``_infer`` (the fused program is a cached jit trace), so the
+    compact_first periodic re-check cannot fire inside them. The evaluator
+    must route every ``compact_first_recheck``-th batch through blocking
+    ``run_task`` with the guard forced — counted here via the exact
+    duplicate solves (``_run_infer(..., compact_first=False)``)."""
+    from transductive_clip_tpu.methods.zero_shot import em_dirichlet as em
+
+    feats_q, labels_q = synth_features(rng, n_per_class=10, n_class=120)
+
+    calls = []
+    orig = em.EM_DIRICHLET._run_infer
+
+    def spy(self, x_q, compact_first):
+        calls.append(bool(compact_first))
+        return orig(self, x_q, compact_first)
+
+    monkeypatch.setattr(em.EM_DIRICHLET, "_run_infer", spy)
+
+    cfg = cfg_base(dataset="eurosat", method="em_dirichlet", shots=0,
+                   number_tasks=12, batch_size=2, n_query=20, seed=3,
+                   iter=6, iter_mm=100)
+    cfg.n_class = cfg.num_classes_test = 120
+    cfg.matching_backend = "device"
+    cfg.compact_first_recheck = 2
+    acc, _ = EvaluatorZeroShot(args=cfg).evaluate_tasks(feats_q, labels_q)
+    assert acc > 0.9
+    # 6 batches at recheck=2: the first-batch guard (batch 0) plus the
+    # routed re-check at batch 3 each run one exact duplicate solve; the
+    # fused/deferred batches in between run none
+    assert calls.count(False) == 2

@@ -278,15 +278,41 @@ class EvaluatorZeroShot:
                     results_task, results_time, timer,
                 )
                 deferred, t_tail0 = [], _t.perf_counter()
+        # evaluator-routed periodic exactness guard: the deferred/fused
+        # pipelines never re-execute the method's Python-side _infer (the
+        # fused program is a cached trace), so its compact_first re-check
+        # cannot fire there. Every guard_every-th batch is routed through
+        # the blocking run_task below instead, with the guard forced — the
+        # duplicate solve stays excluded from the honest timestamps via
+        # the method's _untimed_overhead_s accounting.
+        batches_since_guard = 0
         with trace_if_requested(args.get("profile_dir")):
             for b in range(n_batches):
+                # re-read the cadence each batch: a tripped guard turns the
+                # fast path (and so the cadence) off for the evaluation
+                guard_every = int(method.guard_recheck_batches() or 0)
+                guard_batch = (guard_every > 0 and b > 0
+                               and batches_since_guard >= guard_every)
+                if guard_batch:
+                    method.request_guard_check()
+                    if deferred:
+                        # settle the open deferred window first: the
+                        # blocking guard batch would otherwise both drain
+                        # the queued programs inside its own timing and
+                        # leave them inside the window's wall clock
+                        finalize_deferred(
+                            deferred, t_tail0, int(args.batch_size),
+                            results_task, results_time, timer,
+                        )
+                        deferred = []
                 with timer.phase("sampling"):
                     idx = None
                     if device_gather:
                         idx = np.stack(list(SamplerQueryZeroShot(sampler)))
                 # fused one-dispatch path: only the index matrix crosses
                 # the link; gather + method + accuracy run as one program
-                if defer and use_fused and b > 0 and idx is not None:
+                if (defer and use_fused and b > 0 and idx is not None
+                        and not guard_batch):
                     with timer.phase("dispatch"):
                         res = method.run_task_fused(
                             features_dev, labels_dev, idx,
@@ -294,6 +320,7 @@ class EvaluatorZeroShot:
                         )
                     if res is not None:
                         deferred.append(res)
+                        batches_since_guard += 1
                         _flush_deferred()
                         continue
                     use_fused = False
@@ -326,11 +353,12 @@ class EvaluatorZeroShot:
                 # batch 0 always runs blocking: it compiles the programs and
                 # hosts the method's one-time first-batch guards. Later
                 # batches dispatch async and fetch together at the end.
-                if defer and b > 0:
+                if defer and b > 0 and not guard_batch:
                     with timer.phase("dispatch"):
                         res = method.run_task_deferred(tasks)
                     if res is not None:
                         deferred.append(res)
+                        batches_since_guard += 1
                         _flush_deferred()
                         continue
                     defer = False
@@ -340,6 +368,13 @@ class EvaluatorZeroShot:
                     )
                 with timer.phase("method"):
                     logs = method.run_task(tasks)
+                # a blocking batch hosts the method's exactness guards
+                # (batch 0's first-batch guard, or the routed re-check)
+                batches_since_guard = 0
+                if guard_batch and defer:
+                    import time as _time
+
+                    t_tail0 = _time.perf_counter()   # new deferred window
                 acc_mean, _ = compute_confidence_interval(logs["acc"][:, -1])
                 results_task.append(acc_mean)
                 results_time.append(logs["timestamps"])

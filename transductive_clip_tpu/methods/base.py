@@ -481,6 +481,31 @@ class TransductiveMethod:
         #: a PendingCompactionCheck dispatched inside _infer; run_task
         #: fetches its scalar with the combined accuracy transfer
         self._pending_check = None
+        #: True only while a blocking run_task executes _infer: exactness
+        #: guards (a duplicate solve + host comparison) may only fire there
+        #: — their cost is excluded via _untimed_overhead_s, which the
+        #: deferred/fused pipelines cannot honor (and a cached fused trace
+        #: could not host the comparison at all)
+        self._guard_allowed = False
+
+    # -- evaluator guard protocol ------------------------------------------
+    def guard_recheck_batches(self):
+        """Batches between evaluator-routed blocking guard re-checks.
+
+        0 (default) = the method has no periodic exactness guard. Methods
+        whose guards need a host step (EM-Dirichlet's compact_first_iter)
+        override this; the evaluator routes every M-th batch through the
+        blocking ``run_task`` after :meth:`request_guard_check`, because
+        the deferred/fused dispatch paths never re-execute ``_infer``'s
+        Python body.
+        """
+        return 0
+
+    def request_guard_check(self):
+        """Ask the next blocking ``_infer`` to re-run its exactness guard.
+
+        No-op for methods without one.
+        """
 
     def set_mesh(self, mesh):
         """Attach a (dp, tp) device mesh. Mesh-aware methods annotate their
@@ -559,7 +584,11 @@ class TransductiveMethod:
         t0 = time.perf_counter()
         self._untimed_overhead_s = 0.0
         self._pending_check = None
-        u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
+        self._guard_allowed = True
+        try:
+            u, criterions, n_exec = split_infer_out(self._infer_chunked(task))
+        finally:
+            self._guard_allowed = False
         u = device_sync(u)
         elapsed = time.perf_counter() - t0 - self._untimed_overhead_s
         n_task = query.shape[0]
@@ -785,8 +814,11 @@ class TransductiveMethod:
 
         The method's ``_infer`` runs INSIDE the jit trace (its host-side
         work — logging, config resolution — happens once at trace time;
-        one-time first-batch guards belong to the blocking batch 0, which
-        the evaluator always runs before any fused batch). The deferred
+        exactness guards belong to blocking batches: batch 0, which the
+        evaluator always runs before any fused batch, and the periodic
+        re-check batches it routes via :meth:`guard_recheck_batches` —
+        ``_infer``'s guard logic is gated on ``_guard_allowed``, so the
+        trace itself never attempts a host comparison). The deferred
         compaction check created during the trace carries traced scalars;
         its host half (``pend``) is kept and fed the fetched value at
         finalize time.

@@ -460,9 +460,16 @@ class EM_DIRICHLET(TransductiveMethod):
         # evaluation so the first-batch check covers the typical case, but
         # an iteration-1 deviation is the one shortcut undetectable post
         # hoc — re-checking every M batches bounds the exposure at the same
-        # amortized (untimed-overhead) cost.
+        # amortized (untimed-overhead) cost. The guard runs only inside a
+        # blocking ``run_task`` (where its duplicate solve is excluded from
+        # the honest timestamps): direct-API loops advance the internal
+        # batch counter per call, while the deferred/fused evaluator
+        # pipelines — whose cached program never re-executes ``_infer`` —
+        # route every M-th batch through blocking ``run_task`` after
+        # calling :meth:`request_guard_check` (eval/zero_shot.py).
         self._cf_recheck = int(args.get("compact_first_recheck", 64))
         self._cf_batches_since_check = 0
+        self._cf_force_guard = False
         self.early_stop = bool(args.get("early_stop", True))
         self.early_stop_tol = float(args.get("early_stop_tol", 1e-6))
         # task compaction (see em_dirichlet_infer): straggler tasks iterate
@@ -477,6 +484,24 @@ class EM_DIRICHLET(TransductiveMethod):
         from ..base import compact_select_impl
 
         self.select = compact_select_impl(args)
+
+    def guard_recheck_batches(self):
+        """Periodic-guard cadence for evaluator-driven dispatch paths.
+
+        Returns the configured ``compact_first_recheck`` when the auto
+        guard could still need re-running (0 = no periodic checks). The
+        deferred and fused evaluator pipelines cannot host the guard —
+        the fused program caches ``_infer``'s trace, so its Python-side
+        counter never advances — so the evaluator routes every M-th batch
+        through blocking ``run_task`` after :meth:`request_guard_check`.
+        """
+        if self._cf_guard_auto and self.compact_first and self._cf_recheck > 0:
+            return self._cf_recheck
+        return 0
+
+    def request_guard_check(self):
+        """Force the next blocking ``_infer`` to run the exactness guard."""
+        self._cf_force_guard = True
 
     def _check_compaction(self, pop_max, n_query, n_class):
         n_compact, engaged = compaction_geometry(n_query, n_class)
@@ -524,8 +549,17 @@ class EM_DIRICHLET(TransductiveMethod):
         cf_engaged = (self.compact_first and self.compact
                       and compaction_geometry(n_query, n_class)[1])
         out = self._run_infer(task["x_q"], self.compact_first)
-        guard_due = cf_engaged and self._cf_guard_auto and (
+        # the guard may only fire inside a blocking run_task (the flag is
+        # set there): its duplicate solve + device_sync would otherwise be
+        # billed to the deferred pipeline's timed tail, and inside the
+        # fused program's jit trace the prediction comparison would be a
+        # tracer-bool error. Deferred/fused evaluations get their periodic
+        # re-checks by the evaluator routing every M-th batch through
+        # blocking run_task (request_guard_check + guard_recheck_batches).
+        guard_allowed = getattr(self, "_guard_allowed", False)
+        guard_due = cf_engaged and self._cf_guard_auto and guard_allowed and (
             self._cf_guard_pending
+            or self._cf_force_guard
             or (self._cf_recheck > 0
                 and self._cf_batches_since_check >= self._cf_recheck)
         )
@@ -553,6 +587,7 @@ class EM_DIRICHLET(TransductiveMethod):
             self._untimed_overhead_s = _time.perf_counter() - t_guard
             first_check = self._cf_guard_pending
             self._cf_guard_pending = False
+            self._cf_force_guard = False
             self._cf_batches_since_check = 0
             which = ("first-batch" if first_check
                      else f"periodic (every {self._cf_recheck} batches)")
@@ -574,6 +609,10 @@ class EM_DIRICHLET(TransductiveMethod):
 
                     warnings.warn(msg)
                 self.compact_first = False
+                # a cached fused program was traced with compact_first=True
+                # — drop it so the next fused dispatch re-traces on the
+                # exact path
+                self._fused_zs = None
                 out = exact
         self._check_compaction(out[3], n_query, n_class)
         return out[:3]
