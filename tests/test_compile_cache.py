@@ -91,3 +91,19 @@ def test_exception_inside_block_still_restores_and_reemits(tmp_path,
     cap.close()
     assert b"cpu_aot_loader" not in data
     assert b"dropped 1 XLA:CPU AOT-rejection" in data
+
+
+def test_tpu_attached_process_keeps_cache_on_rejection(tmp_path, monkeypatch):
+    """A TPU-attached process (no JAX_PLATFORM_NAME=cpu) must NOT rmtree its
+    cache dir on a CPU-AOT rejection: the dir also holds its expensive TPU
+    executables, which _cpu_fingerprint deliberately preserves — one stale
+    CPU entry only costs quarantined re-rejection spam."""
+    monkeypatch.delenv("JAX_PLATFORM_NAME", raising=False)
+
+    def write():
+        os.write(2, SPAM)
+
+    data, cache = _run_quarantined(write, tmp_path, monkeypatch)
+    assert b"dropped 1 XLA:CPU AOT-rejection" in data
+    assert b"kept cache dir" in data
+    assert cache.exists(), "TPU-attached cache must survive CPU-AOT spam"

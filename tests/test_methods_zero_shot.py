@@ -203,3 +203,58 @@ def test_deferred_compaction_warning_reaches_run_task(simplex_tasks,
             method.run_task({"x_q": x, "y_q": y})
     finally:
         em.em_dirichlet_infer.clear_cache()
+
+
+def test_timing_logs_width_weighted_under_task_compaction(rng):
+    """With task compaction the phase-2 (narrow straggler) iterations cost
+    ~compact_tasks/n_task of a full iteration, so synthesizing the
+    reference-semantics cumulative trace as uniform would understate it
+    and overstate the implied speedup. The method returns a split executed
+    count and timing_logs weights the trace by iteration width."""
+    import numpy as np
+
+    from tests.test_compaction import _mixed_convergence_tasks
+    from transductive_clip_tpu.core.config import CfgNode
+    from transductive_clip_tpu.methods import get_zero_shot_method
+    from transductive_clip_tpu.methods.base import timing_logs
+
+    # unit: weighted vs uniform synthesis
+    w = [100.0] * 5 + [8.0] * 15
+    weighted = timing_logs(2.0, 1, 20, iter_widths=w)
+    uniform = timing_logs(2.0, 1, 20)
+    assert weighted["timestamps"] == uniform["timestamps"] == 2.0
+    np.testing.assert_allclose(weighted["timestamps_cumulative"][-1], 2.0,
+                               rtol=1e-9)
+    assert weighted["timestamps_ref"] > uniform["timestamps_ref"]
+    # hand check: mean of cumsum(w)/sum(w) * total
+    expect = 2.0 * (np.cumsum(w) / np.sum(w)).mean()
+    np.testing.assert_allclose(weighted["timestamps_ref"], expect, rtol=1e-9)
+
+    # integration: a straggler batch under compact_tasks produces a
+    # non-uniform cumulative trace whose late increments are the narrow
+    # fraction of the early ones; compact_tasks=0 restores uniform
+    n_class, n_query = 120, 20
+    x = _mixed_convergence_tasks(rng, n_task=8, n_query=n_query,
+                                 n_class=n_class)
+    y = np.zeros(x.shape[:2], np.int64)
+    base = dict(
+        name_method="EM_DIRICHLET", n_class=n_class,
+        num_classes_test=n_class, n_query=n_query, T=30,
+        use_softmax_feature=True, graph_matching=False, iter=20, iter_mm=200,
+        dirichlet_solver="minka", compact_clusters=True, early_stop=True,
+        compact_first_iter=True,
+    )
+    logs_tc = get_zero_shot_method(
+        "EM_DIRICHLET", args=CfgNode(dict(base, compact_tasks=2))
+    ).run_task({"x_q": x, "y_q": y[..., None]})
+    inc = np.diff(np.concatenate([[0.0], logs_tc["timestamps_cumulative"]]))
+    assert len(inc) > 2 and inc[-1] < inc[0], \
+        "narrow phase-2 increments must be cheaper than full-width ones"
+    np.testing.assert_allclose(inc[-1] / inc[0], 2 / 8, rtol=1e-6)
+
+    logs_u = get_zero_shot_method(
+        "EM_DIRICHLET", args=CfgNode(dict(base, compact_tasks=0))
+    ).run_task({"x_q": x, "y_q": y[..., None]})
+    inc_u = np.diff(
+        np.concatenate([[0.0], logs_u["timestamps_cumulative"]]))
+    np.testing.assert_allclose(inc_u, inc_u[0], rtol=1e-6)

@@ -433,7 +433,7 @@ def split_infer_out(out):
     return u, criterions, None
 
 
-def timing_logs(elapsed, n_task, n_iter):
+def timing_logs(elapsed, n_task, n_iter, iter_widths=None):
     """Timing metrics for ``run_task`` logs.
 
     ``timestamps`` is the honest total wall-clock per task. The reference
@@ -443,21 +443,45 @@ def timing_logs(elapsed, n_task, n_iter):
     total * (n+1) / (2n), i.e. about HALF the true per-task cost. The whole
     EM loop here runs inside one compiled program (no host clock per
     iteration), so ``timestamps_cumulative``/``timestamps_ref`` synthesize
-    the reference's Table-2 semantics under uniform per-iteration cost.
+    the reference's Table-2 semantics from a per-iteration cost model.
 
     ``n_iter`` is the EXECUTED outer-iteration count: early-stopping
-    methods return it from the compiled loop's carry (``split_infer_out``),
-    so the synthesized factor (n+1)/(2n) is exact in all modes.
+    methods return it from the compiled loop's carry (``split_infer_out``).
+    ``iter_widths`` (optional, length ``n_iter``) is each iteration's
+    relative cost: with task compaction the straggler (phase-2) iterations
+    run at the narrow buffer width, so modeling them as uniform would
+    UNDERSTATE the reference-semantics mean (the true cumulative curve is
+    front-loaded) and overstate the implied speedup. Without it, uniform
+    cost — exact for fixed schedules and plain early stopping.
     ``timestamps`` (the true total) is always exact.
     """
     per_task = elapsed / n_task
     n = max(int(round(float(n_iter))), 1)
-    cumulative = per_task * (np.arange(1, n + 1) / n)
+    if iter_widths is not None and len(iter_widths) == n:
+        w = np.asarray(iter_widths, np.float64)
+        cumulative = per_task * (np.cumsum(w) / w.sum())
+    else:
+        cumulative = per_task * (np.arange(1, n + 1) / n)
     return {
         "timestamps": per_task,
         "timestamps_cumulative": cumulative,
         "timestamps_ref": float(cumulative.mean()),
     }
+
+
+def resolve_exec_count(n_exec):
+    """Normalize a method's executed-count output to (n_used, n_full).
+
+    Methods whose outer iterations have non-uniform cost return a length-2
+    vector ``[total, full_width]`` (task compaction: iterations after the
+    ``full_width``-th ran at the narrow straggler width); the rest return a
+    scalar. ``n_full`` is None for the scalar form."""
+    if n_exec is None:
+        return None, None
+    arr = np.asarray(n_exec)
+    if arr.ndim == 1 and arr.size == 2:
+        return float(arr[0]), int(arr[1])
+    return float(arr), None
 
 
 class TransductiveMethod:
@@ -506,6 +530,24 @@ class TransductiveMethod:
 
         No-op for methods without one.
         """
+
+    def _timing_iter_widths(self, n_used, n_full, n_task):
+        """Per-iteration relative costs for ``timing_logs``, or None for
+        uniform. Methods that return a split executed count (see
+        ``resolve_exec_count``) override this with their width model."""
+        return None
+
+    def _timing_logs_for(self, elapsed, n_task, n_exec, criterions):
+        """The shared executed-count/width plumbing for every logs builder:
+        scalar counts get the uniform model, split counts the method's
+        width model."""
+        n_used, n_full = resolve_exec_count(n_exec)
+        if n_used is None:
+            n_used = len(criterions)
+        return timing_logs(
+            elapsed, n_task, n_used,
+            iter_widths=self._timing_iter_widths(n_used, n_full, n_task),
+        )
 
     def set_mesh(self, mesh):
         """Attach a (dp, tp) device mesh. Mesh-aware methods annotate their
@@ -557,7 +599,10 @@ class TransductiveMethod:
         u_all = np.concatenate([np.asarray(u) for u in us])
         crit_mean = np.mean(crits, axis=0)
         if all(n is not None for n in n_execs):
-            return u_all, crit_mean, float(np.mean([int(n) for n in n_execs]))
+            # scalar counts and split [total, full_width] vectors both
+            # average elementwise (see resolve_exec_count)
+            return u_all, crit_mean, np.mean(
+                [np.asarray(n) for n in n_execs], axis=0)
         return u_all, crit_mean
 
     # -- helpers ----------------------------------------------------------
@@ -612,12 +657,11 @@ class TransductiveMethod:
         if pend is not None:
             pend.finish(extras[2])
         criterions = np.asarray(criterions)
-        n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
             "acc": acc,
             "preds": preds,
             "criterions": criterions,
-            **timing_logs(elapsed, n_task, n_used),
+            **self._timing_logs_for(elapsed, n_task, n_exec, criterions),
         }
 
     def run_task_deferred(self, task_dic, shot=None):
@@ -883,12 +927,12 @@ class TransductiveMethod:
         if pend is not None:
             pend.finish(populated)
         criterions = np.asarray(criterions)
-        n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
             "acc": np.asarray(acc),
             "preds": np.asarray(preds),
             "criterions": criterions,
-            **timing_logs(elapsed_per_task * n_task, n_task, n_used),
+            **self._timing_logs_for(
+                elapsed_per_task * n_task, n_task, n_exec, criterions),
         }
 
 
@@ -937,12 +981,11 @@ class FewShotMethod(TransductiveMethod):
         if pend is not None:
             pend.finish(extras[2])
         criterions = np.asarray(criterions)
-        n_used = float(n_exec) if n_exec is not None else len(criterions)
         return {
             "acc": acc,
             "preds": preds,
             "criterions": criterions,
-            **timing_logs(elapsed, n_task, n_used),
+            **self._timing_logs_for(elapsed, n_task, n_exec, criterions),
         }
 
     def run_task_fused(self, feats_s_dev, feats_q_dev, labels_s_dev,

@@ -42,6 +42,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.common import EPS, constrainer, get_one_hot
 from ...ops.dirichlet import (
@@ -227,14 +228,15 @@ def _rel_from_ss(diff_ss, ss_before):
 @partial(jax.jit, static_argnames=("n_iter", "iter_mm", "hard", "solver",
                                    "compact", "compact_first", "early_stop",
                                    "mesh", "return_n_iter", "select",
-                                   "compact_tasks"))
+                                   "compact_tasks", "return_iter_split"))
 def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
                        solver: str = "mm", compact: bool = True,
                        compact_first: bool = False,
                        early_stop: bool = True,
                        early_stop_tol: float = 1e-6,
                        mesh=None, return_n_iter: bool = False,
-                       select: str = "topk", compact_tasks: int = 8):
+                       select: str = "topk", compact_tasks: int = 8,
+                       return_iter_split: bool = False):
     """Run EM-Dirichlet on a batch of tasks.
 
     query: [N, n, K] softmax features. Returns (u [N, n, K], criterions [n_iter]).
@@ -390,6 +392,11 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
         (u, alpha, l12, l3, ss, jnp.array(1, jnp.int32), crits0, rel,
          pop_max0),
     )
+    # iterations executed at the full batch width (phase 1); phase-2
+    # iterations below run at the narrow straggler width, so per-iteration
+    # cost is non-uniform — the split lets timing_logs weight its
+    # synthesized reference-semantics cumulative trace by width
+    it_full = it
 
     if use_tc:
         # gather the n_narrow most-unconverged tasks (top_k covers every
@@ -408,6 +415,11 @@ def em_dirichlet_infer(query, lambd, n_iter: int, iter_mm: int, hard: bool,
              criterions, grab(rel), pop_max),
         )
         u = con(u.at[t_idx].set(u_n), "dp", None, None)
+    if return_iter_split:
+        # [total executed iterations, full-width (phase-1) iterations]:
+        # the remainder ran at the narrow compact_tasks width — consumed by
+        # the wrapper's width-weighted reference-semantics timing
+        return u, criterions, jnp.stack([it, it_full]), pop_max
     if return_n_iter:
         # executed outer-iteration count (makes the synthesized
         # reference-semantics timing metric exact under early stopping) and
@@ -503,6 +515,24 @@ class EM_DIRICHLET(TransductiveMethod):
         """Force the next blocking ``_infer`` to run the exactness guard."""
         self._cf_force_guard = True
 
+    def _timing_iter_widths(self, n_used, n_full, n_task):
+        """Per-iteration cost model for the synthesized reference-semantics
+        timing: with task compaction the first ``n_full`` iterations ran at
+        the full batch width and the rest at the narrow ``compact_tasks``
+        width. Modeling phase-2 cost as proportional to width slightly
+        UNDERSTATES it (narrow iterations keep fixed dispatch/solve
+        overheads), which front-loads the modeled cumulative curve and so
+        errs toward OVERSTATING our reference-semantics time — the
+        conservative direction for the implied speedup. Uniform (None)
+        whenever no narrow phase ran."""
+        n = max(int(round(float(n_used))), 1)
+        if n_full is None or n_full >= n:
+            return None
+        narrow = min(max(int(self.compact_tasks), 1), int(n_task))
+        w = np.full(n, float(narrow))
+        w[:max(int(n_full), 0)] = float(n_task)
+        return w
+
     def _check_compaction(self, pop_max, n_query, n_class):
         n_compact, engaged = compaction_geometry(n_query, n_class)
         if self.compact and engaged:
@@ -530,7 +560,7 @@ class EM_DIRICHLET(TransductiveMethod):
             early_stop=self.early_stop,
             early_stop_tol=jnp.float32(self.early_stop_tol),
             mesh=self.mesh,
-            return_n_iter=True,
+            return_iter_split=True,
             select=self.select,
             compact_tasks=self.compact_tasks,
         )

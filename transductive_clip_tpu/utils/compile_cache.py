@@ -17,6 +17,16 @@ import platform
 import socket
 
 
+def _is_forced_cpu() -> bool:
+    """True for processes that actually run on XLA:CPU.
+
+    Only JAX_PLATFORM_NAME forces CPU here (the axon plugin ignores
+    JAX_PLATFORMS): a JAX_PLATFORMS=cpu process with the plugin registered
+    still runs on the TPU.
+    """
+    return os.environ.get("JAX_PLATFORM_NAME", "").strip().lower() == "cpu"
+
+
 def _cpu_fingerprint() -> str:
     bits = [platform.machine(), platform.processor() or ""]
     try:
@@ -51,11 +61,7 @@ def _cpu_fingerprint() -> str:
     # than flushing it for a CPU-only failure mode. A live migration under a
     # running kernel can still slip through either way — XLA rejects those
     # artifacts gracefully at load.
-    # only JAX_PLATFORM_NAME actually forces CPU here (the axon plugin
-    # ignores JAX_PLATFORMS): a JAX_PLATFORMS=cpu process with the plugin
-    # registered still runs on the TPU and must keep its cache across
-    # reboots
-    if os.environ.get("JAX_PLATFORM_NAME", "").strip().lower() == "cpu":
+    if _is_forced_cpu():
         try:
             with open("/proc/sys/kernel/random/boot_id") as f:
                 bits.append(f.read().strip())
@@ -136,10 +142,21 @@ def quarantine_aot_spam(clear_cache_on_rejection: bool = True):
         if dropped:
             msg = (f"[compile-cache] dropped {dropped} XLA:CPU AOT-rejection "
                    f"log lines")
-            if clear_cache_on_rejection:
+            # clear only for forced-CPU processes: every entry in their
+            # fingerprinted dir is an XLA:CPU artifact, so a rejection
+            # means the whole dir is poisoned for this host. A TPU-attached
+            # process's dir also holds its (expensive, minutes-of-warmup)
+            # TPU executables, which _cpu_fingerprint deliberately
+            # preserves across reboots — one stale CPU-AOT entry must not
+            # flush those, so it keeps the dir and relies on the
+            # quarantine to keep the re-rejection spam out of artifacts.
+            if clear_cache_on_rejection and _is_forced_cpu():
                 import shutil
 
                 path = compile_cache_dir()
                 shutil.rmtree(path, ignore_errors=True)
                 msg += f"; cleared poisoned cache dir {path}"
+            elif clear_cache_on_rejection:
+                msg += ("; kept cache dir (TPU-attached process — its TPU "
+                        "executables outvalue the stale CPU entries)")
             print(msg, file=sys.stderr, flush=True)
