@@ -93,8 +93,11 @@ def _bench_body():
 
     # best of 2 per batch: the shared tunneled chip shows transient
     # multi-second slowdown windows; the per-batch minimum is the
-    # uncontended number, summed across batches for the amortized headline
+    # uncontended number, summed across batches for the amortized headline.
+    # Keep per-batch result handles so the purity guard below covers EVERY
+    # timed batch, not just the last one.
     elapsed = 0.0
+    batch_results = []
     for x, _ in batches:
         best = float("inf")
         for _ in range(2):
@@ -103,22 +106,26 @@ def _bench_body():
             device_sync(u)
             best = min(best, time.perf_counter() - t0)
         elapsed += best
+        batch_results.append((jnp.argmax(u, axis=-1), crit))
 
     # correctness guard: the timed computation must actually cluster the
     # separable synthetic tasks (catches perf-only regressions that break
-    # the math); argmax on device — only [N, n] ints cross the slow link
-    import jax.numpy as jnp
-
-    clusters = np.asarray(jnp.argmax(u, axis=-1))   # u = last timed batch
-    y_last = batches[-1][1]
-    purities = []
-    for t in range(4):
-        for c in np.unique(y_last[t]):
-            members = clusters[t][y_last[t] == c]
-            counts = np.bincount(members)
-            purities.append(counts.max() / len(members))
-    assert np.mean(purities) > 0.95, f"clustering broke: purity {np.mean(purities)}"
-    assert np.isfinite(np.asarray(crit)).all(), "non-finite criterion trace"
+    # the math) — asserted for ALL N_BATCH batches; argmax was taken on
+    # device so only [N, n] ints cross the slow link
+    for batch_idx, ((_, y_np), (clusters_dev, crit)) in enumerate(
+            zip(batches, batch_results)):
+        clusters = np.asarray(clusters_dev)
+        purities = []
+        for t in range(4):
+            for c in np.unique(y_np[t]):
+                members = clusters[t][y_np[t] == c]
+                counts = np.bincount(members)
+                purities.append(counts.max() / len(members))
+        assert np.mean(purities) > 0.95, (
+            f"clustering broke on batch {batch_idx}: "
+            f"purity {np.mean(purities)}")
+        assert np.isfinite(np.asarray(crit)).all(), (
+            f"non-finite criterion trace on batch {batch_idx}")
 
     tasks_per_sec = N_TASK * N_BATCH / elapsed
     vs_baseline = tasks_per_sec * REFERENCE_SECONDS_PER_TASK

@@ -46,6 +46,8 @@ def test_dryrun_multichip_self_provisions_driver_convention():
     # by utils/compile_cache.py and re-emitted to stderr before it
     last = proc.stdout.strip().splitlines()[-1]
     assert last.startswith("dryrun_multichip ok"), proc.stdout[-500:]
+    # the artifact attests mesh/single-device parity, not just liveness
+    assert "parity=exact" in last, last
     assert "cpu_aot_loader" not in proc.stdout
     assert "cpu_aot_loader" not in proc.stderr
 

@@ -102,6 +102,69 @@ def test_reference_torch_cache_loads(tmp_path, rng):
     np.testing.assert_array_equal(l2, labels.numpy())
 
 
+class _TorchImportBlocker:
+    """meta_path finder that makes ``import torch*`` raise
+    ModuleNotFoundError, simulating a core-deps-only install."""
+
+    def find_spec(self, name, path=None, target=None):
+        if name == "torch" or name.startswith("torch."):
+            raise ModuleNotFoundError(f"No module named {name!r} (blocked)")
+        return None
+
+
+def test_reference_torch_cache_loads_without_torch(tmp_path, monkeypatch):
+    """A production install has no torch (test-only extra in pyproject), yet
+    reference-written ``.plk`` caches must still load byte-for-byte: the
+    torch-free unpickler reroutes ``torch._utils._rebuild_tensor_v2`` /
+    ``torch.storage._load_from_bytes`` to numpy reconstruction
+    (core/io.py; reference cache writer: src/utils.py:299-306)."""
+    torch = pytest.importorskip("torch")
+    import pickle
+    import sys
+
+    from transductive_clip_tpu.features.cache import load_feature_cache
+
+    g = torch.Generator().manual_seed(0)
+    feats = torch.rand(10, 4, generator=g)
+    labels = torch.arange(10)
+    # exercise the non-trivial reconstruction paths too: non-contiguous
+    # (transpose), storage-offset (slice view), and non-float dtypes
+    extras = {
+        "t_t": feats.t(),
+        "sliced": feats[3:7],
+        "half": feats.half(),
+        "bf16": feats.bfloat16(),
+        "bool": labels % 2 == 0,
+        "scalar": torch.tensor(3.5),
+    }
+    expected = {k: v.float().numpy() if v.dtype == torch.bfloat16
+                else v.numpy() for k, v in extras.items()}
+    path = str(tmp_path / "test_softmax_RN50_T30.plk")
+    with open(path, "wb") as f:
+        pickle.dump({"concat_features": feats, "concat_labels": labels,
+                     **extras}, f)
+
+    # hide torch: purge every cached torch module and block re-import
+    for name in [m for m in sys.modules if m == "torch" or m.startswith("torch.")]:
+        monkeypatch.delitem(sys.modules, name, raising=False)
+    monkeypatch.setattr(sys, "meta_path", [_TorchImportBlocker()] + sys.meta_path)
+    with pytest.raises(ModuleNotFoundError):
+        import torch  # noqa: F811 -- proves the block is effective
+
+    f2, l2 = load_feature_cache(path)
+    assert f2.dtype == np.float32 and l2.dtype == np.int64
+    np.testing.assert_array_equal(f2, feats.numpy())
+    np.testing.assert_array_equal(l2, labels.numpy())
+
+    from transductive_clip_tpu.core.io import load_pickle
+
+    loaded = load_pickle(path)
+    for k, exp in expected.items():
+        got = loaded[k]
+        assert got.dtype == exp.dtype, (k, got.dtype, exp.dtype)
+        np.testing.assert_array_equal(got, exp, err_msg=k)
+
+
 def test_cache_conversion_script(tmp_path, rng):
     import subprocess
     import sys

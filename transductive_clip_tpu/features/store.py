@@ -26,8 +26,10 @@ import numpy as np
 class PickleStore:
     """Reference-compatible pickle payload
     {'concat_features', 'concat_labels'} (reference: src/utils.py:299-306);
-    files written by the torch reference (torch tensors) load
-    transparently via np.asarray."""
+    files written by the torch reference (torch tensors) load transparently
+    — via torch when importable, else via the torch-free unpickler in
+    core/io.py (numpy reconstruction of the tensor pickle protocol), so a
+    core-deps-only install reads reference caches too."""
 
     suffix = ".plk"
 

@@ -457,7 +457,11 @@ def timing_logs(elapsed, n_task, n_iter, iter_widths=None):
     """
     per_task = elapsed / n_task
     n = max(int(round(float(n_iter))), 1)
-    if iter_widths is not None and len(iter_widths) == n:
+    if iter_widths is not None:
+        # a length mismatch is a width-model bug (n_used vs widths-vector
+        # rounding drift) — surface it instead of silently going uniform
+        assert len(iter_widths) == n, (
+            f"iter_widths length {len(iter_widths)} != executed count {n}")
         w = np.asarray(iter_widths, np.float64)
         cumulative = per_task * (np.cumsum(w) / w.sum())
     else:

@@ -524,13 +524,23 @@ class EM_DIRICHLET(TransductiveMethod):
         overheads), which front-loads the modeled cumulative curve and so
         errs toward OVERSTATING our reference-semantics time — the
         conservative direction for the implied speedup. Uniform (None)
-        whenever no narrow phase ran."""
+        whenever no narrow phase ran.
+
+        Under ``task_chunk`` the phase-1 iterations execute at the chunk
+        width (each chunk solves independently; ``_infer_chunked`` averages
+        the split counts), so the full-width cost is the chunk width, not
+        ``n_task`` — using ``n_task`` would over-weight phase 1 in the
+        synthesized cumulative curve for chunked runs."""
         n = max(int(round(float(n_used))), 1)
         if n_full is None or n_full >= n:
             return None
-        narrow = min(max(int(self.compact_tasks), 1), int(n_task))
+        chunk = int(self.args.get("task_chunk", 0) or 0)
+        full_w = int(n_task)
+        if 0 < chunk < n_task and n_task % chunk == 0:
+            full_w = chunk           # chunked run: phase 1 ran at chunk width
+        narrow = min(max(int(self.compact_tasks), 1), full_w)
         w = np.full(n, float(narrow))
-        w[:max(int(n_full), 0)] = float(n_task)
+        w[:max(int(n_full), 0)] = float(full_w)
         return w
 
     def _check_compaction(self, pop_max, n_query, n_class):

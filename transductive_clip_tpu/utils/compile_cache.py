@@ -101,44 +101,83 @@ def quarantine_aot_spam(clear_cache_on_rejection: bool = True):
     ``cpu_aot_loader.cc`` E-line per entry — hundreds of lines that bury the
     one ok/summary line the driver records (bench.py JSON,
     ``dryrun_multichip ok``). This context manager redirects stderr at the
-    FD level (C++ glog writes to fd 2 directly, bypassing sys.stderr) into a
-    temp file for the wrapped compile-heavy section, then re-emits every
-    non-spam line and a one-line count of what was dropped. A rejection also
+    FD level (C++ glog writes to fd 2 directly, bypassing sys.stderr)
+    through a filtering pipe for the wrapped compile-heavy section: spam
+    lines are counted and dropped, everything else is re-emitted
+    immediately, and a one-line count of what was dropped is printed at
+    exit. A rejection also
     means the cache dir is poisoned for this host, so it is cleared
     (``clear_cache_on_rejection``) — the next run recompiles once and
     re-caches cleanly instead of re-spamming forever.
 
     Callers print their summary line AFTER the with-block so it is the last
     thing in the artifact.
+
+    Implemented as a LIVE filtering tee (pipe + background pump thread), not
+    a buffer-then-replay: non-spam diagnostics reach the real stderr the
+    moment they are written, so an abnormal death inside the block (OOM,
+    SIGKILL, TPU wedge) loses at most one partial line, and long compiles
+    stay observable while they run.
     """
     import os
     import sys
-    import tempfile
+    import threading
 
     sys.stderr.flush()
     saved = os.dup(2)
-    tmp = tempfile.NamedTemporaryFile(
-        prefix="tclip_stderr_", suffix=".log", delete=False
-    )
-    os.dup2(tmp.fileno(), 2)
+    r_fd, w_fd = os.pipe()
+    n_dropped = [0]
+
+    def _pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r_fd, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while True:
+                nl = buf.find(b"\n")
+                if nl < 0:
+                    break
+                line, buf = buf[:nl + 1], buf[nl + 1:]
+                if b"cpu_aot_loader" in line:
+                    n_dropped[0] += 1
+                else:
+                    try:
+                        os.write(saved, line)
+                    except OSError:
+                        pass
+        if buf:                                   # trailing partial line
+            if b"cpu_aot_loader" in buf:
+                n_dropped[0] += 1
+            else:
+                try:
+                    os.write(saved, buf)
+                except OSError:
+                    pass
+        os.close(r_fd)
+
+    pump = threading.Thread(target=_pump, name="aot-spam-tee", daemon=True)
+    pump.start()
+    os.dup2(w_fd, 2)
+    os.close(w_fd)                # fd 2 now holds the only write end
     try:
         yield
     finally:
         sys.stderr.flush()
-        os.dup2(saved, 2)
-        os.close(saved)
-        tmp.close()
-        dropped = 0
-        try:
-            with open(tmp.name, "rb") as f:
-                for line in f.read().splitlines(keepends=True):
-                    if b"cpu_aot_loader" in line:
-                        dropped += 1
-                    else:
-                        os.write(2, line)
-            os.unlink(tmp.name)
-        except OSError:
-            pass
+        os.dup2(saved, 2)         # closes the pipe write end -> pump EOF
+        # a subprocess spawned inside the block could still hold an
+        # inherited write end open; bound the wait (pump is a daemon)
+        pump.join(timeout=10)
+        if pump.is_alive():
+            pass          # leak `saved` rather than let a late write hit a
+            #               reused fd number; the daemon dies with the process
+        else:
+            os.close(saved)
+        dropped = n_dropped[0]
         if dropped:
             msg = (f"[compile-cache] dropped {dropped} XLA:CPU AOT-rejection "
                    f"log lines")
