@@ -91,5 +91,79 @@ def test_supported_guard():
     assert fused_attention_supported(197, 768, jnp.bfloat16)    # ViT-B/16
     assert fused_attention_supported(577, 1024, jnp.bfloat16)   # ViT-L@336
     assert fused_attention_supported(77, 512, jnp.bfloat16)     # text
-    # ViT-L@336 in fp32 blows the VMEM budget -> resolver falls back to XLA
-    assert not fused_attention_supported(577, 1024, jnp.float32)
+    # ViT-L@336 in fp32 exceeds the whole-sequence kernel's VMEM budget but
+    # is carried by the q-row-blocked variant — NOT an XLA fallback
+    assert fused_attention_supported(577, 1024, jnp.float32)
+    from transductive_clip_tpu.ops.pallas_attention import (
+        _pick_block_q,
+        _rows_working_set,
+        _VMEM_BUDGET,
+    )
+
+    assert _rows_working_set(577, 1024, 4) > _VMEM_BUDGET
+    assert _pick_block_q(577, 1024, jnp.float32) > 0
+
+
+def test_no_silent_fallback_for_any_production_tower():
+    """'auto' must resolve to the fused kernel for EVERY supported backbone
+    at BOTH compute dtypes — the paper's strongest backbone (ViT-L/14,
+    reference: config/main_config.yaml:14-16) must not silently lose the
+    fused path when the user asks for reference-exact fp32 numerics."""
+    from transductive_clip_tpu.models.clip.config import CLIP_CONFIGS
+    from transductive_clip_tpu.models.clip.model import (
+        _resolve_attention_impl,
+    )
+
+    class _TpuBackend:
+        def __enter__(self):
+            import transductive_clip_tpu.models.clip.model as m
+
+            self._orig = m.jax.default_backend
+            m.jax.default_backend = lambda: "tpu"
+            return self
+
+        def __exit__(self, *exc):
+            import transductive_clip_tpu.models.clip.model as m
+
+            m.jax.default_backend = self._orig
+
+    with _TpuBackend():
+        for name, cfg in CLIP_CONFIGS.items():
+            for dtype in (jnp.bfloat16, jnp.float32):
+                impl = _resolve_attention_impl("auto", cfg, dtype)
+                assert impl == "fused", (name, dtype, impl)
+
+
+def test_blocked_variant_matches_xla(rng):
+    """The q-row-blocked kernel (forced via a direct call) matches XLA,
+    including a non-divisible final block and the additive-mask path."""
+    from transductive_clip_tpu.ops.pallas_attention import (
+        _fused_attention_blocked,
+    )
+
+    n, width, heads = 53, 64, 4                    # 53 = 3*16 + 5: ragged
+    qkv = jnp.asarray(rng.standard_normal((2, n, 3 * width)), jnp.float32)
+    got = _fused_attention_blocked(qkv, heads, None, 16, interpret=True)
+    want = _xla_reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    causal = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
+    got = _fused_attention_blocked(qkv, heads, causal[None, None], 16,
+                                   interpret=True)
+    want = _xla_reference(qkv, heads, causal[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_blocked_dispatch_at_vitl336_fp32_shape(rng):
+    """fused_attention at the real ViT-L/14@336px fp32 shape dispatches to
+    the blocked variant and matches XLA (interpret mode; the real-TPU
+    lowering + timing is bench_suite --extraction)."""
+    n, width, heads = 577, 1024, 16
+    qkv = jnp.asarray(rng.standard_normal((1, n, 3 * width)), jnp.float32)
+    got = fused_attention(qkv, heads, interpret=True)
+    want = _xla_reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
