@@ -52,6 +52,97 @@ def timed(fn, *args, repeats=3, **kw):
     return best, out
 
 
+def save_measured(path, rows, backend):
+    """Merge measured rows into the canonical store (keyed by metric).
+
+    ``bench_results/measured.json`` is the single source the README bench
+    table is generated from (``scripts/gen_bench_table.py``) — numbers are
+    never hand-edited into docs, so they cannot drift between files."""
+    import datetime
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    store = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            store = json.load(f)
+    stamp = datetime.date.today().isoformat()
+    for r in rows:
+        if r.get("skipped"):
+            continue
+        store[r["metric"]] = {**{k: v for k, v in r.items()
+                                 if k != "metric"},
+                              "backend": backend, "measured_on": stamp}
+    with open(path, "w") as f:
+        json.dump(store, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"[saved {sum(1 for r in rows if not r.get('skipped'))} rows "
+          f"-> {path}]", file=sys.stderr)
+
+
+def bench_multichip(jax, jnp, devs, n_task, n_query, n_class, lambd,
+                    solver, x_single):
+    """Weak-scaling sweep over every (dp, tp) layout of the visible devices
+    on the production EM-Dirichlet path: ``n_task`` tasks per dp group,
+    efficiency = tasks/s vs ``n_devices x`` the single-device baseline, and
+    per-device HBM highwater from the compiled executable's memory
+    analysis. Returns the measured rows (the caller streams them)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transductive_clip_tpu.methods.zero_shot.em_dirichlet import (
+        em_dirichlet_infer,
+    )
+    from transductive_clip_tpu.parallel import make_mesh
+    from transductive_clip_tpu.utils.synthetic import make_zero_shot_tasks
+
+    n_dev = len(devs)
+    kw = dict(n_iter=20, iter_mm=1000, hard=False, solver=solver,
+              compact_first=True)
+
+    # single-device baseline at the same per-group width
+    t1, _ = timed(lambda: em_dirichlet_infer(x_single, lambd, **kw))
+    base_tps = n_task / t1
+    rows = [{
+        "metric": "multichip_baseline_1dev",
+        "value": round(base_tps, 1),
+        "unit": "tasks/sec",
+        "device_kind": devs[0].device_kind or "",
+    }]
+
+    layouts = [(n_dev // tp, tp) for tp in (1, 2, 4, 8)
+               if tp <= n_dev and n_dev % tp == 0 and n_class % tp == 0]
+    for dp, tp in layouts:
+        mesh = make_mesh(n_devices=n_dev, tp=tp)
+        global_tasks = n_task * dp
+        xg_np, _ = make_zero_shot_tasks(
+            np.random.default_rng(97), global_tasks, n_query, n_class)
+        xg = jax.device_put(
+            jnp.asarray(xg_np), NamedSharding(mesh, P("dp", None, None)))
+        hbm_gb = None
+        try:
+            compiled = em_dirichlet_infer.lower(
+                xg, lambd, mesh=mesh, **kw).compile()
+            ma = compiled.memory_analysis()
+            hbm_gb = round((ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                            + ma.output_size_in_bytes) / 2**30, 3)
+        except Exception:
+            pass          # backends without memory analysis (e.g. some CPU)
+        with mesh:
+            t, _ = timed(lambda: em_dirichlet_infer(
+                xg, lambd, mesh=mesh, **kw))
+        tps = global_tasks / t
+        row = {
+            "metric": f"multichip_dp{dp}_tp{tp}",
+            "value": round(tps, 1),
+            "unit": "tasks/sec",
+            "n_devices": n_dev,
+            "scaling_efficiency": round(tps / (base_tps * n_dev), 3),
+        }
+        if hbm_gb is not None:
+            row["hbm_highwater_gb_per_device"] = hbm_gb
+        rows.append(row)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", type=int, default=100)
@@ -68,7 +159,19 @@ def main():
     ap.add_argument("--extraction", action="store_true",
                     help="benchmark CLIP image encoding: device-resident "
                          "batch (pure compute, reports MFU) vs host batch "
-                         "(includes the transfer) for ViT-B/16 and RN50")
+                         "(includes the transfer) for --backbones")
+    ap.add_argument("--backbones",
+                    default="ViT-B/16,RN50,ViT-L/14,ViT-L/14@336px",
+                    help="comma-separated backbone list for --extraction "
+                         "(the default covers the paper's strongest tower, "
+                         "ViT-L/14, and its 336px variant)")
+    ap.add_argument("--multichip", action="store_true",
+                    help="sweep (dp, tp) mesh layouts at the protocol "
+                         "shapes when >1 device is present: weak-scaling "
+                         "tasks/s, efficiency vs the single-device "
+                         "baseline, and per-device HBM highwater from the "
+                         "compiled executable. On a single-chip host, "
+                         "emits one explicit skip row.")
     ap.add_argument("--matching-divergence", action="store_true",
                     help="measure (don't assert) how often the device "
                          "auction's eps-optimal cluster->class assignment "
@@ -79,6 +182,19 @@ def main():
     ap.add_argument("--div-tasks", type=int, default=10_000,
                     help="total tasks per distribution for "
                          "--matching-divergence")
+    ap.add_argument("--save-measured", metavar="PATH", nargs="?",
+                    const=os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))),
+                        "bench_results", "measured.json"),
+                    default=None,
+                    help="merge this run's rows (keyed by metric) into the "
+                         "canonical measured-numbers store the README bench "
+                         "table is generated from "
+                         "(scripts/gen_bench_table.py); default path "
+                         "bench_results/measured.json. Refused for --quick "
+                         "runs and non-TPU backends — the store holds "
+                         "production-shape chip numbers only.")
     args = ap.parse_args()
     if args.quick:
         args.tasks, args.n_class = 8, 64
@@ -342,6 +458,27 @@ def main():
                              f"{n_rep} batches",
         })
 
+    # ---- multi-chip (dp, tp) scaling sweep (--multichip) -----------------
+    # Readiness harness for real multi-chip hardware (SURVEY §2.2): the
+    # moment >1 device is visible, this measures task-DP/class-TP weak
+    # scaling with no hand-written sweep needed. Exercised fake-distributed
+    # in tests/test_parallel.py on the 8-virtual-CPU-device mesh.
+    if args.multichip:
+        devs = jax.devices()
+        if len(devs) < 2:
+            rows.append({
+                "metric": "multichip_scaling",
+                "skipped": True,
+                "reason": f"single {devs[0].device_kind or backend} device "
+                          "visible; rerun on a multi-chip host to sweep "
+                          "(dp, tp) layouts",
+            })
+        else:
+            for row in bench_multichip(
+                    jax, jnp, devs, n_task, n_query, n_class, lambd,
+                    fast_solver, x):
+                rows.append(row)
+
     # ---- CLIP extraction throughput + MFU (--extraction) -----------------
     if args.extraction:
         from transductive_clip_tpu.models.clip import (
@@ -365,9 +502,16 @@ def main():
         # matches the production extract_batch_size (config/main_config.yaml)
         batch = 8 if args.quick else 512
         rng_x = np.random.default_rng(0)
-        for backbone in ("ViT-B/16", "RN50"):
+        for backbone in args.backbones.split(","):
+            backbone = backbone.strip()
             cfg_b = CLIP_CONFIGS[backbone]
             model = JaxCLIP(cfg_b, init_random_params(cfg_b))
+            if (jax.default_backend() == "tpu"
+                    and not cfg_b.vision.is_resnet):
+                # the flagship towers must run the fused Pallas attention —
+                # a silent XLA fallback here would invalidate the MFU rows
+                assert model.attention_impl == "fused", (
+                    backbone, model.attention_impl)
             size = cfg_b.vision.image_size
             imgs_np = rng_x.integers(0, 256, (batch, size, size, 3),
                                      dtype=np.uint8)
@@ -641,6 +785,13 @@ def main():
                                  "vs exact host JV on identical EM outputs",
             })
 
+    if args.save_measured:
+        if args.quick or backend != "tpu":
+            sys.exit("--save-measured records production-shape TPU numbers "
+                     f"only (this run: quick={args.quick}, "
+                     f"backend={backend})")
+        save_measured(args.save_measured, rows, backend)
+
     print()
     print(f"backend={backend}  n_task={n_task} n_query={n_query} "
           f"n_class={n_class}")
@@ -649,6 +800,9 @@ def main():
         return
     w = max(len(r["metric"]) for r in rows)
     for r in rows:
+        if r.get("skipped"):
+            print(f"{r['metric']:<{w}}  SKIPPED: {r['reason']}")
+            continue
         extra = (f"  vs_baseline={r['vs_baseline']}x"
                  if "vs_baseline" in r else f"  acc={r.get('acc')}")
         print(f"{r['metric']:<{w}}  {r['value']:>10} {r['unit']:<9}{extra}")

@@ -43,6 +43,60 @@ from transductive_clip_tpu.methods import (
 
 
 
+# --check bounds, vendored for the --quick protocol (K=32, 32 tasks x 25
+# queries, shots=4, seed 0): (min final accuracy, max ms/task). Accuracy is
+# checked on every backend — the synthetic simplex tasks are separable, so
+# the Dirichlet-geometry methods must stay near 1.0 (measured 1.000) and
+# even the Euclidean baselines have stable floors (EM_GAUSSIAN 0.86,
+# EM_GAUSSIAN_COV/SOFT_KMEANS 0.69 — the paper's Table-1 finding). The
+# latency ceiling is checked only on the TPU backend and is deliberately
+# loose (quick-protocol steady state measures <5 ms/task; the ceiling
+# catches catastrophic regressions like an uncompiled hot loop, while
+# tolerating the shared chip's multi-second slowdown windows).
+QUICK_CHECK_BOUNDS = {
+    # zero-shot
+    "KL_KMEANS": (0.95, 1000.0),
+    "EM_DIRICHLET": (0.95, 1000.0),
+    "HARD_EM_DIRICHLET": (0.95, 1000.0),
+    "EM_GAUSSIAN": (0.75, 1000.0),
+    "EM_GAUSSIAN_COV": (0.55, 1000.0),
+    "SOFT_KMEANS": (0.55, 1000.0),
+    "HARD_KMEANS": (0.95, 1000.0),
+    "CLIP": (0.95, 1000.0),
+    # few-shot
+    "FS/EM_DIRICHLET": (0.95, 1000.0),
+    "FS/HARD_EM_DIRICHLET": (0.95, 1000.0),
+    "FS/PADDLE": (0.95, 1000.0),
+    "FS/BDCSPN": (0.95, 1000.0),
+    "FS/LAPLACIAN_SHOT": (0.95, 1000.0),
+    "FS/ALPHA_TIM": (0.95, 2000.0),
+    "FS/TIM-GD": (0.95, 2000.0),
+}
+
+
+def check_results(rows, backend):
+    """Acceptance gate for ``--quick --check``: every method present, every
+    accuracy above its vendored floor, every TPU latency under its ceiling.
+    Returns a list of human-readable failure strings (empty = pass)."""
+    failures = []
+    seen = {name for name, _, _ in rows}
+    for name in sorted(set(QUICK_CHECK_BOUNDS) - seen):
+        failures.append(f"{name}: missing from results")
+    for name, acc, ms in rows:
+        if name not in QUICK_CHECK_BOUNDS:
+            failures.append(f"{name}: no vendored bound (update "
+                            "QUICK_CHECK_BOUNDS)")
+            continue
+        min_acc, max_ms = QUICK_CHECK_BOUNDS[name]
+        if acc < min_acc:
+            failures.append(
+                f"{name}: accuracy {acc:.3f} < floor {min_acc:.2f}")
+        if backend == "tpu" and ms > max_ms:
+            failures.append(
+                f"{name}: {ms:.1f} ms/task > ceiling {max_ms:.0f}")
+    return failures
+
+
 def base_cfg(n_class, n_query, batch_size, shots):
     return CfgNode(dict(
         num_classes_test=n_class, n_class=n_class, n_query=n_query,
@@ -64,7 +118,15 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small shapes + reduced iteration counts: all 15 "
                          "methods in ~2 min on a tunneled TPU")
+    ap.add_argument("--check", action="store_true",
+                    help="acceptance gate: exit nonzero when any method "
+                         "misses its vendored accuracy floor (or, on TPU, "
+                         "its latency ceiling). Requires --quick — the "
+                         "bounds are vendored for the quick protocol.")
     args = ap.parse_args()
+    if args.check and not args.quick:
+        ap.error("--check bounds are vendored for the --quick protocol; "
+                 "pass --quick too")
     if args.quick:
         # 2 batches: the first (compile) batch is excluded from timing
         args.n_class, args.tasks, args.batch_size, args.n_query = 32, 32, 16, 25
@@ -74,6 +136,8 @@ def main():
     rng = np.random.default_rng(0)
     print(f"backend: {jax.default_backend()}, K={args.n_class}, "
           f"{args.tasks} tasks x {args.n_query} queries", flush=True)
+
+    results = []          # (bound key, final acc, steady ms/task)
 
     # ---- zero-shot suite ----
     print(f"\n{'zero-shot method':<22} {'acc':>6} {'ms/task':>9}", flush=True)
@@ -95,6 +159,8 @@ def main():
             accs.append(logs["acc"][:, -1].mean())
         print(f"{name:<22} {np.mean(accs):>6.3f} {np.mean(times)*1e3:>9.2f}",
               flush=True)
+        results.append((name, float(np.mean(accs)),
+                        float(np.mean(times)) * 1e3))
 
     # ---- few-shot suite ----
     print(f"\n{'few-shot method':<22} {'acc':>6} {'ms/task':>9}", flush=True)
@@ -120,6 +186,18 @@ def main():
         )
         print(f"{name:<22} {logs['acc'][:, -1].mean():>6.3f} "
               f"{logs['timestamps']*1e3:>9.2f}", flush=True)
+        results.append((f"FS/{name}", float(logs["acc"][:, -1].mean()),
+                        float(logs["timestamps"]) * 1e3))
+
+    if args.check:
+        failures = check_results(results, jax.default_backend())
+        if failures:
+            print("\n--check FAILED:", flush=True)
+            for f in failures:
+                print(f"  {f}", flush=True)
+            sys.exit(1)
+        print(f"\n--check passed: {len(results)} methods within vendored "
+              "bounds", flush=True)
 
 
 if __name__ == "__main__":

@@ -138,3 +138,97 @@ def test_reproduce_tables_run_branch(tmp_path):
     finally:
         os.chdir(cwd)
     assert acc > 95.0  # separable synthetic features
+
+
+def test_synthetic_protocol_check_gate():
+    """run_synthetic_protocol --check threshold logic: full pass, accuracy
+    drop, TPU-only latency ceiling, and missing-method detection."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import run_synthetic_protocol as sp
+
+    ok_rows = [(name, 1.0, 5.0) for name in sp.QUICK_CHECK_BOUNDS]
+    assert sp.check_results(ok_rows, "tpu") == []
+    assert sp.check_results(ok_rows, "cpu") == []
+
+    # an accuracy drop on any backend fails
+    bad = [("EM_DIRICHLET", 0.62, 5.0)] + [
+        r for r in ok_rows if r[0] != "EM_DIRICHLET"]
+    fails = sp.check_results(bad, "cpu")
+    assert len(fails) == 1 and "EM_DIRICHLET" in fails[0]
+    assert "0.620" in fails[0]
+
+    # latency ceiling applies on TPU only
+    slow = [("FS/PADDLE", 1.0, 99_000.0)] + [
+        r for r in ok_rows if r[0] != "FS/PADDLE"]
+    assert sp.check_results(slow, "cpu") == []
+    fails = sp.check_results(slow, "tpu")
+    assert len(fails) == 1 and "ceiling" in fails[0]
+
+    # a method silently dropped from the sweep fails too
+    missing = [r for r in ok_rows if r[0] != "CLIP"]
+    fails = sp.check_results(missing, "cpu")
+    assert fails == ["CLIP: missing from results"]
+
+    # every registered method has a vendored bound
+    from transductive_clip_tpu.methods import (
+        FEW_SHOT_METHODS,
+        ZERO_SHOT_METHODS,
+    )
+
+    expected = set(ZERO_SHOT_METHODS) | {f"FS/{m}" for m in FEW_SHOT_METHODS}
+    assert expected == set(sp.QUICK_CHECK_BOUNDS)
+
+
+def test_gen_bench_table_roundtrip_and_drift_gate(tmp_path):
+    """gen_bench_table: renders the table from the store, --check passes on
+    a fresh render and fails once the store moves (the drift gate that
+    keeps README numbers single-sourced)."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import gen_bench_table as gbt
+
+    store = {
+        "headline_soft_production": {
+            "value": 1934.9, "unit": "tasks/sec",
+            "seconds_per_task": 0.00052, "vs_baseline": 2012.3,
+            "measured_on": "2026-08-19",
+        },
+        "few_shot_paddle_imagenet_protocol": {
+            "value": 2.9, "unit": "ms/task", "vs_baseline": 139.0,
+            "measured_on": "2026-08-19",
+        },
+        "extraction_device_only_ViT-L14": {
+            "value": 1200.0, "unit": "imgs/sec", "tflops_per_sec": 130.0,
+            "mfu_pct_bf16_peak": 66.0, "measured_on": "2026-08-19",
+        },
+    }
+    store_p = tmp_path / "measured.json"
+    store_p.write_text(json.dumps(store))
+    readme_p = tmp_path / "README.md"
+    readme_p.write_text(f"# head\n\n{gbt.BEGIN}\nstale\n{gbt.END}\n\ntail\n")
+
+    assert gbt.main(["--store", str(store_p), "--readme", str(readme_p)]) == 0
+    text = readme_p.read_text()
+    assert "1,935 tasks/s (0.52 ms/task)" in text
+    assert "**2,012x**" in text
+    assert "**66.0% of bf16 peak**" in text
+    assert "stale" not in text
+    assert text.startswith("# head") and text.endswith("tail\n")
+
+    # idempotent + --check green
+    assert gbt.main(["--check", "--store", str(store_p),
+                     "--readme", str(readme_p)]) == 0
+
+    # the store moves -> --check goes red until regenerated
+    store["headline_soft_production"]["value"] = 2100.0
+    store_p.write_text(json.dumps(store))
+    assert gbt.main(["--check", "--store", str(store_p),
+                     "--readme", str(readme_p)]) == 1

@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the 8-virtual-CPU-device mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -530,3 +532,65 @@ def test_hlo_checker_detects_a_gathered_state():
     compiled = jax.jit(bad).lower(x).compile()
     with pytest.raises(AssertionError, match="gathered across tp"):
         _assert_state_stays_sharded(compiled, N, K, K)
+
+
+def test_multichip_harness_skip_path_on_single_device():
+    """bench_suite --multichip on a 1-device host must emit one explicit
+    skip row (and exit 0) — the readiness contract for real multi-chip
+    hardware: nothing to hand-write on the day it exists, and no silent
+    absence of scaling data until then."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_suite.py"),
+         "--quick", "--skip-zero-shot", "--multichip"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith("{")]
+    assert len(rows) == 1
+    assert rows[0]["metric"] == "multichip_scaling"
+    assert rows[0]["skipped"] is True
+    assert "single" in rows[0]["reason"]
+
+
+@pytest.mark.slow
+def test_multichip_harness_sweep_on_virtual_mesh():
+    """The --multichip sweep measures every (dp, tp) layout of the visible
+    devices: baseline + one row per layout with scaling efficiency and (when
+    the backend reports it) per-device HBM highwater."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_suite.py"),
+         "--quick", "--skip-zero-shot", "--multichip"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = {r["metric"]: r for r in
+            (json.loads(l) for l in proc.stdout.splitlines()
+             if l.startswith("{"))}
+    assert "multichip_baseline_1dev" in rows
+    # quick protocol: n_class=64, so every tp in {1,2,4,8} divides
+    for metric in ("multichip_dp8_tp1", "multichip_dp4_tp2",
+                   "multichip_dp2_tp4", "multichip_dp1_tp8"):
+        assert metric in rows, sorted(rows)
+        assert rows[metric]["value"] > 0
+        assert 0 < rows[metric]["scaling_efficiency"]
+        assert rows[metric]["n_devices"] == 8
