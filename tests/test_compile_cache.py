@@ -50,7 +50,34 @@ def test_spam_dropped_real_lines_reemitted_cache_cleared(tmp_path,
     assert b"a real error line\n" in data
     assert b"python-level stderr\n" in data
     assert b"dropped 2 XLA:CPU AOT-rejection" in data
-    assert not cache.exists(), "poisoned cache dir must be cleared"
+    # the poisoned ENTRIES must be gone, but the dir itself must be
+    # recreated: jax's cache writer never re-creates a missing dir and
+    # silently loses persistence for the rest of the run otherwise
+    assert cache.exists(), "cache dir must be recreated after clearing"
+    assert list(cache.iterdir()) == [], "poisoned entries must be cleared"
+
+
+def test_enable_compile_cache_creates_missing_dir(tmp_path, monkeypatch):
+    """jax never mkdir's the cache dir itself; enable must, or every cache
+    write for the rest of the process fails with FileNotFoundError."""
+    cache = tmp_path / "cache_gone"
+    monkeypatch.setattr(cc, "compile_cache_dir",
+                        lambda prefix=None: str(cache))
+
+    class FakeConfig:
+        def __init__(self):
+            self.updates = {}
+
+        def update(self, k, v):
+            self.updates[k] = v
+
+    class FakeJax:
+        config = FakeConfig()
+
+    path = cc.enable_compile_cache(FakeJax)
+    assert path == str(cache)
+    assert cache.is_dir()
+    assert FakeJax.config.updates["jax_compilation_cache_dir"] == str(cache)
 
 
 def test_no_spam_is_a_noop(tmp_path, monkeypatch):

@@ -84,6 +84,11 @@ def compile_cache_dir(prefix: str = "/tmp/tclip_jax_cache") -> str:
 def enable_compile_cache(jax, min_compile_secs: float = 1.0) -> str:
     """Point jax at the fingerprinted persistent cache; returns the dir."""
     path = compile_cache_dir()
+    # jax's cache writer does NOT create the directory and fails every
+    # entry write with FileNotFoundError if it is missing (observed when a
+    # concurrent quarantine_aot_spam cleared the dir mid-run: the whole
+    # remainder of the run silently lost persistence)
+    os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs
@@ -194,6 +199,11 @@ def quarantine_aot_spam(clear_cache_on_rejection: bool = True):
 
                 path = compile_cache_dir()
                 shutil.rmtree(path, ignore_errors=True)
+                # recreate immediately: any live process pointed at this dir
+                # (this one, or a parent pytest run that spawned us) writes
+                # entries WITHOUT creating the dir — a missing dir breaks
+                # persistence for the rest of its run
+                os.makedirs(path, exist_ok=True)
                 msg += f"; cleared poisoned cache dir {path}"
             elif clear_cache_on_rejection:
                 msg += ("; kept cache dir (TPU-attached process — its TPU "
