@@ -57,13 +57,7 @@ def test_spam_dropped_real_lines_reemitted_cache_cleared(tmp_path,
     assert list(cache.iterdir()) == [], "poisoned entries must be cleared"
 
 
-def test_enable_compile_cache_creates_missing_dir(tmp_path, monkeypatch):
-    """jax never mkdir's the cache dir itself; enable must, or every cache
-    write for the rest of the process fails with FileNotFoundError."""
-    cache = tmp_path / "cache_gone"
-    monkeypatch.setattr(cc, "compile_cache_dir",
-                        lambda prefix=None: str(cache))
-
+def _fake_jax():
     class FakeConfig:
         def __init__(self):
             self.updates = {}
@@ -74,10 +68,37 @@ def test_enable_compile_cache_creates_missing_dir(tmp_path, monkeypatch):
     class FakeJax:
         config = FakeConfig()
 
-    path = cc.enable_compile_cache(FakeJax)
+    return FakeJax
+
+
+def test_enable_compile_cache_creates_missing_dir(tmp_path, monkeypatch):
+    """jax never mkdir's the cache dir itself; enable must, or every cache
+    write for the rest of the process fails with FileNotFoundError."""
+    cache = tmp_path / "cache_gone"
+    monkeypatch.setattr(cc, "compile_cache_dir",
+                        lambda prefix=None: str(cache))
+    monkeypatch.delenv("JAX_PLATFORM_NAME", raising=False)  # TPU-flavored
+
+    fake = _fake_jax()
+    path = cc.enable_compile_cache(fake)
     assert path == str(cache)
     assert cache.is_dir()
-    assert FakeJax.config.updates["jax_compilation_cache_dir"] == str(cache)
+    assert fake.config.updates["jax_compilation_cache_dir"] == str(cache)
+
+
+def test_enable_compile_cache_noop_on_forced_cpu(tmp_path, monkeypatch):
+    """XLA:CPU AOT entries are self-incompatible in this jax (the loader
+    never reports the compile side's prefer-no-* pseudo-features), so
+    forced-CPU processes must not enable the persistent cache at all."""
+    cache = tmp_path / "cache_cpu"
+    monkeypatch.setattr(cc, "compile_cache_dir",
+                        lambda prefix=None: str(cache))
+    monkeypatch.setenv("JAX_PLATFORM_NAME", "cpu")
+
+    fake = _fake_jax()
+    assert cc.enable_compile_cache(fake) is None
+    assert fake.config.updates == {}
+    assert not cache.exists()
 
 
 def test_no_spam_is_a_noop(tmp_path, monkeypatch):

@@ -400,3 +400,111 @@ def test_tim_pallas_grad_protocol_scale_parity(rng):
         us["autodiff"].argmax(-1), us["pallas"].argmax(-1)
     )
     np.testing.assert_allclose(us["autodiff"], us["pallas"], atol=5e-3)
+
+
+def _es_tasks(rng, n_task=6, K=8, shots=2, n_query=25, hard_tasks=(),
+              hard_conc=0.35):
+    """Heterogeneous-difficulty batch: listed tasks get near-overlapping
+    classes (their predictions keep flipping), the rest are separable."""
+    y_s = np.tile(np.repeat(np.arange(K), shots), (n_task, 1))
+    y_q = np.stack([
+        rng.choice(rng.choice(K, 4, replace=False), n_query)
+        for _ in range(n_task)
+    ])
+
+    def simplex(labels, conc_per_task):
+        g = rng.gamma(1.0, size=(*labels.shape, K)).astype(np.float32)
+        for t in range(labels.shape[0]):
+            g[t, np.arange(labels.shape[1]), labels[t]] += conc_per_task[t]
+        return g / g.sum(-1, keepdims=True)
+
+    conc = np.full(n_task, 60.0)
+    conc[list(hard_tasks)] = hard_conc     # barely-peaked: stragglers
+    return (simplex(y_s, conc), y_s, simplex(y_q, conc), y_q)
+
+
+def test_tim_early_stop_matches_full_schedule(rng):
+    """Opt-in prediction-stability early stop (tim_early_stop) must
+    reproduce the reference-exact fixed schedule's predictions; the
+    executed count must actually drop."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+
+    x_s, y_s, x_q, y_q = _es_tasks(rng)
+    kw = dict(n_iter=120, n_class=8,
+              entropies=("Shannon", "Alpha", "Alpha"), lr=1e-4)
+    u_ref, crit_ref = tim_infer(
+        jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+        jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32), **kw,
+    )
+    u_es, crit_es, n_exec = tim_infer(
+        jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+        jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+        early_stop=True, es_patience=12, compact_tasks=2, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_ref).argmax(-1), np.asarray(u_es).argmax(-1)
+    )
+    total, full = np.asarray(n_exec)
+    assert total < 120, "early stop never engaged"
+    assert 0 < full <= total
+    assert np.asarray(crit_es).shape == np.asarray(crit_ref).shape
+
+
+def test_tim_early_stop_phase2_stragglers(rng):
+    """With a couple of genuinely unstable tasks, phase 2 (the gathered
+    narrow straggler buffer) must engage — and stragglers that run out the
+    clock must get the exact same treatment as the full schedule (the
+    narrow-buffer step is the same math on gathered tensors)."""
+    import jax.numpy as jnp
+
+    from transductive_clip_tpu.methods.few_shot.tim import tim_infer
+
+    # pure-noise stragglers at a churning lr: they cannot accumulate the
+    # 35-step stable stretch in the 25 steps phase 2 has, so they must run
+    # to n_iter exactly (asserted below — a loud precondition, not a hope)
+    x_s, y_s, x_q, y_q = _es_tasks(rng, hard_tasks=(1, 4), hard_conc=0.0)
+    kw = dict(n_iter=60, n_class=8,
+              entropies=("Shannon", "Alpha", "Alpha"), lr=5e-3)
+    u_ref, _ = tim_infer(
+        jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+        jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32), **kw,
+    )
+    u_es, _, n_exec = tim_infer(
+        jnp.asarray(x_s), jnp.asarray(x_q), jnp.asarray(y_s),
+        jnp.float32(15.0), jnp.float32(5.0), jnp.ones(3, jnp.float32),
+        early_stop=True, es_patience=35, compact_tasks=2, **kw,
+    )
+    total, full = np.asarray(n_exec)
+    assert total > full, "phase 2 (straggler compaction) never engaged"
+    assert total == 60, "test construct failed: stragglers froze early"
+    # stragglers ran the full schedule in the narrow buffer: same logits
+    np.testing.assert_allclose(
+        np.asarray(u_es)[[1, 4]], np.asarray(u_ref)[[1, 4]],
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_ref).argmax(-1), np.asarray(u_es).argmax(-1)
+    )
+
+
+def test_tim_early_stop_wrapper_logs(rng):
+    """ALPHA_TIM with tim_early_stop=True: same accuracy as the fixed
+    schedule, criterion trace keeps the configured length, and the
+    synthesized reference-semantics timing stays monotone."""
+    xs, ys, xq, yq = make_few_shot_tasks(rng)
+    task = {"x_s": xs, "y_s": ys, "x_q": xq, "y_q": yq}
+    base = dict(iter=150, alpha_value=5.0, lr_alpha_tim=1e-4)
+    m_ref = get_few_shot_method("ALPHA_TIM", args=make_cfg(**base))
+    m_es = get_few_shot_method(
+        "ALPHA_TIM",
+        args=make_cfg(**base, tim_early_stop=True, tim_es_patience=15,
+                      tim_compact_tasks=1),
+    )
+    logs_ref = m_ref.run_task(dict(task), shot=2)
+    logs_es = m_es.run_task(dict(task), shot=2)
+    np.testing.assert_array_equal(logs_ref["preds"], logs_es["preds"])
+    assert logs_es["criterions"].shape[0] == 150
+    cum = logs_es["timestamps_cumulative"]
+    assert np.all(np.diff(cum) >= 0) and cum[-1] <= logs_es["timestamps"] + 1e-9

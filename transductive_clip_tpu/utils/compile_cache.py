@@ -81,8 +81,24 @@ def compile_cache_dir(prefix: str = "/tmp/tclip_jax_cache") -> str:
     return f"{prefix}_{socket.gethostname()}_{_cpu_fingerprint()}"
 
 
-def enable_compile_cache(jax, min_compile_secs: float = 1.0) -> str:
-    """Point jax at the fingerprinted persistent cache; returns the dir."""
+def enable_compile_cache(jax, min_compile_secs: float = 1.0):
+    """Point jax at the fingerprinted persistent cache; returns the dir.
+
+    **Forced-CPU processes get no persistent cache** (returns None): this
+    jax/jaxlib's XLA:CPU AOT loader rejects every entry the SAME process
+    configuration wrote — the compile side records pseudo-features
+    ``+prefer-no-scatter,+prefer-no-gather`` in the artifact's target
+    machine, and the load side's host-feature detection never reports
+    them, so each load fails the feature check and recompiles (measured:
+    write + immediate reload of a trivial jit in one fixed env rejects
+    with "Target machine feature +prefer-no-scatter is not supported on
+    the host machine"). Enabling the cache there is pure overhead: wasted
+    serialization per compile, cpu_aot_loader error spam per load, and
+    zero warm-start. The TPU path is unaffected and demonstrably works
+    (194.8 s cold -> 5.1 s warm for the EM-Dirichlet protocol drive).
+    """
+    if _is_forced_cpu():
+        return None
     path = compile_cache_dir()
     # jax's cache writer does NOT create the directory and fails every
     # entry write with FileNotFoundError if it is missing (observed when a
