@@ -499,11 +499,16 @@ def main():
         kind = jax.devices()[0].device_kind
         peak = next((v for k, v in peak_by_kind.items()
                      if kind.lower().startswith(k.lower())), None)
-        # matches the production extract_batch_size (config/main_config.yaml)
-        batch = 8 if args.quick else 512
+        # matches the production extract_batch_size (config/main_config.yaml);
+        # the giant ResNets (448px/384px inputs, 4x-wide trunks) cap the
+        # batch so layer1 activations fit a 16 GB chip — throughput and MFU
+        # are batch-insensitive once the MXU is saturated, and each row
+        # records the batch it ran at
+        batch_cap = {"RN50x64": 128, "RN50x16": 256}
         rng_x = np.random.default_rng(0)
         for backbone in args.backbones.split(","):
             backbone = backbone.strip()
+            batch = 8 if args.quick else batch_cap.get(backbone, 512)
             cfg_b = CLIP_CONFIGS[backbone]
             model = JaxCLIP(cfg_b, init_random_params(cfg_b))
             if (jax.default_backend() == "tpu"
@@ -558,6 +563,7 @@ def main():
                 "value": round(batch / elapsed, 1),
                 "unit": "imgs/sec",
                 "device_kind": kind,
+                "batch": batch,
             }
             if flops:
                 achieved = flops / elapsed

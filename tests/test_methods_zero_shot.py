@@ -258,3 +258,14 @@ def test_timing_logs_width_weighted_under_task_compaction(rng):
     inc_u = np.diff(
         np.concatenate([[0.0], logs_u["timestamps_cumulative"]]))
     np.testing.assert_allclose(inc_u, inc_u[0], rtol=1e-6)
+
+
+def test_softmax_feature_class_dim_mismatch_raises(simplex_tasks):
+    """With softmax features the feature axis IS the class axis; a K !=
+    n_class task dict must fail with a clear ValueError at run_task entry,
+    not an opaque IndexError inside the cluster->class matching."""
+    x, y = simplex_tasks                      # K = 8 columns
+    cfg = make_cfg(n_class=12)                # mismatched class count
+    method = get_zero_shot_method("EM_DIRICHLET", args=cfg)
+    with pytest.raises(ValueError, match="n_class"):
+        method.run_task({"x_q": x, "y_q": y})

@@ -616,6 +616,16 @@ class TransductiveMethod:
 
     def _prepare_zero_shot(self, task_dic):
         query = jnp.asarray(task_dic["x_q"], jnp.float32)
+        # with softmax features the feature axis IS the class axis — a
+        # mismatched K would otherwise surface as an opaque IndexError deep
+        # in the cluster->class matching (ops/matching.py)
+        n_class = self.args.get("n_class")
+        if (n_class is not None and bool(self.args.get("use_softmax_feature", False))
+                and query.shape[-1] != int(n_class)):
+            raise ValueError(
+                f"x_q feature dim {query.shape[-1]} != n_class {n_class}: "
+                "softmax features must have one column per dataset class "
+                "(set n_class / dataset to match the feature table)")
         y_q = np.asarray(task_dic["y_q"])
         if y_q.ndim == 3:
             y_q = y_q.squeeze(2)
@@ -946,6 +956,13 @@ class FewShotMethod(TransductiveMethod):
     def _prepare_few_shot(self, task_dic):
         support = jnp.asarray(task_dic["x_s"], jnp.float32)
         query = jnp.asarray(task_dic["x_q"], jnp.float32)
+        n_class = self.args.get("n_class")
+        if (n_class is not None and bool(self.args.get("use_softmax_feature", False))
+                and query.shape[-1] != int(n_class)):
+            raise ValueError(
+                f"x_q feature dim {query.shape[-1]} != n_class {n_class}: "
+                "softmax features must have one column per dataset class "
+                "(set n_class / dataset to match the feature table)")
         y_s = np.asarray(task_dic["y_s"])
         y_q = np.asarray(task_dic["y_q"])
         if y_s.ndim == 3:
